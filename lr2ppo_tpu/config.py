@@ -1,0 +1,282 @@
+"""Configuration system.
+
+Mirrors the reference's three-level precedence (reference:
+tencentpretrain/utils/config.py:6-23 + tencentpretrain/opts.py): dataclass
+defaults < JSON config file < explicit CLI flags. Flag names follow the
+reference shell scripts (pointwise.sh / reward_pair_dataloader.sh / ppo.sh
+and the *_trad variants) so a reference user can carry their launch
+commands over.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyperparameters of the cross-modal fusion stack.
+
+    Reference: finetune/ppo.py:196-350 (Actor/Critic/Reward) and
+    finetune/xit.py (XiT block).
+    """
+
+    feat_size: int = 768          # embedding width (XLM-R / ViT-B hidden)
+    seq_length: int = 196         # text tokens per tag (reference --seq_length)
+    max_imgs: int = 16            # image tokens per item (reference --max_imgs)
+    visual_feat_dim: int = 768    # reference --visual_feat_dim
+    num_heads: int = 8            # xit.py:114 MultiHeadAttention default
+    mlp_ratio: int = 4            # Mlp hidden = 4*768, FFN expansion = 4
+    drop_p: float = 0.1           # residual dropout in XiT (xit.py:27)
+    forward_drop_p: float = 0.1   # FFN internal dropout (xit.py:28)
+    labels_num: int = 3           # 3 relevance classes {0,1,2}
+    mode: str = "reg"             # 'reg' (SmoothL1) | 'cls' (NLL 3-way)
+    num_pos: int = 4              # pos_emb table size (ppo.py:256)
+    # Task family: 'multimodal' (text 196x768 + img 16x768 cross-attn) or
+    # 'tabular' (one 768-d doc vector self-attended; finetune/ppo_trad.py:157-167)
+    family: str = "multimodal"
+    # tabular raw feature dims for the 2-data unification model
+    # (finetune/pointwise_2data_trad.py:136-137: 46 -> MQ2008, 136 -> Web10K)
+    trad_dims: List[int] = field(default_factory=lambda: [46, 136])
+    # Replicate reference attention quirks bit-for-bit (xit.py:134-143):
+    # no pre-softmax scaling, softmax-then-divide-by-sqrt(feat_size), and the
+    # 'causal' mask that is a no-op (non-in-place masked_fill discarded).
+    # Set False for the fast path: standard scaled-dot-product attention with
+    # a real causal mask.
+    faithful_attention: bool = True
+    # torch-style kaiming-uniform init (matches reference stage-1 dynamics,
+    # see pointwise.py:239-271 where the roberta ckpt matches no keys and the
+    # torch default init survives) vs 'normal_0.02' (ppo.py:362-365 path).
+    init_style: str = "torch_default"
+
+    @property
+    def fusion_tokens(self) -> int:
+        """Token count entering out_layer: xit output ++ image tokens."""
+        if self.family == "tabular":
+            return 2  # (1+1): xit out ++ doc token (ppo_trad.py:157)
+        return self.seq_length + self.max_imgs  # 196 + 16 = 212
+
+
+@dataclass
+class DataConfig:
+    train_path: str = ""
+    dev_path: str = ""
+    test_path: str = ""
+    embed_root: str = "LRMovieNet"   # dir holding clean_feat.h5 (ppo.py:65-66)
+    max_tags: int = 32               # per-stage sampling width
+    max_imgs: int = 16
+    num_workers: int = 8             # host prefetch threads
+    prefetch_depth: int = 2          # double buffering
+    eval_tag_buckets: List[int] = field(default_factory=lambda: [8, 16, 32, 64, 128])
+    use_native_loader: bool = True   # C++ LETOR parser when available
+
+
+@dataclass
+class OptimConfig:
+    learning_rate: float = 2e-5
+    critic_learning_rate: float = 2e-6
+    optimizer: str = "adamw"          # adamw | adafactor
+    scheduler: str = "linear"         # linear|cosine|constant|constant_with_warmup|...
+    warmup: float = 0.1               # fraction of train_steps
+    weight_decay: float = 0.01        # skipped for bias/scale params (ppo.py:381-393)
+    beta1: float = 0.9
+    beta2: float = 0.999
+    adam_eps: float = 1e-6
+    correct_bias: bool = False        # reference AdamW(correct_bias=False)
+    grad_clip: Optional[float] = None
+
+
+@dataclass
+class PPOConfig:
+    """Stage-3 LR2PPO hyperparameters (ppo.sh:13-41, ppo.py:724-735)."""
+
+    max_timesteps: int = 1
+    update_timesteps: int = 200
+    eps_clip: float = 0.2            # parsed by reference but unused (ppo.py:730)
+    kl_div_loss_weight: float = 0.001
+    entropy_weight: float = 0.001
+    value_clip: float = 0.5
+    rank_margin: float = 0.01        # RankLoss(0.01) (ppo.py:559)
+    advantage_eps: float = -0.1      # flip threshold (ppo.py:562)
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout. dp shards the batch; tp shards the wide fusion
+    MLP (the 162816x3072 out_layer) across chips over ICI."""
+
+    dp: int = -1   # -1: use all devices on the dp axis
+    tp: int = 1
+    compute_dtype: str = "float32"   # 'bfloat16' for the fast path
+    param_dtype: str = "float32"
+    remat: bool = False              # jax.checkpoint the fusion trunk
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    ppo: PPOConfig = field(default_factory=PPOConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # trainer-level flags (names per reference scripts)
+    exp_name: str = "exp"
+    epochs_num: int = 3
+    batch_size: int = 32
+    report_steps: int = 100
+    seed: int = 7
+    output_model_path: str = "ckpt/finetuned_model"
+    log_path: Optional[str] = None
+    pretrained_model_path: Optional[str] = None
+    reward_model_path: Optional[str] = None
+    config_path: Optional[str] = None
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return _merge_into(cls(), d)
+
+
+def _merge_into(cfg: Any, overrides: dict) -> Any:
+    """Recursively apply a (possibly nested or flat) dict onto a dataclass.
+
+    Flat keys that belong to a sub-config are routed to it, so JSON configs
+    may say either {"model": {"seq_length": 196}} or {"seq_length": 196}.
+    """
+    if not dataclasses.is_dataclass(cfg):
+        return overrides
+    names = {f.name: f for f in dataclasses.fields(cfg)}
+    updates = {}
+    for k, v in overrides.items():
+        if k in names:
+            cur = updates.get(k, getattr(cfg, k))
+            if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+                updates[k] = _merge_into(cur, v)
+            else:
+                updates[k] = v
+        else:
+            # route flat key into the first sub-config that has it
+            for f in dataclasses.fields(cfg):
+                sub = getattr(cfg, f.name)
+                if dataclasses.is_dataclass(sub) and k in {
+                    sf.name for sf in dataclasses.fields(sub)
+                }:
+                    updates[f.name] = _merge_into(
+                        updates.get(f.name, sub), {k: v}
+                    )
+                    break
+            # unknown keys are ignored (reference argparse tolerates extras)
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_hyperparam(cfg: Config, config_path: Optional[str] = None) -> Config:
+    """JSON config overrides defaults (reference utils/config.py:6-23)."""
+    path = config_path or cfg.config_path
+    if path:
+        with open(path) as f:
+            cfg = _merge_into(cfg, json.load(f))
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+_FLAG_ROUTES = {
+    # flat reference flag -> (subconfig, field)
+    "seq_length": ("model", "seq_length"),
+    "visual_feat_dim": ("model", "visual_feat_dim"),
+    "mode": ("model", "mode"),
+    "labels_num": ("model", "labels_num"),
+    "family": ("model", "family"),
+    "faithful_attention": ("model", "faithful_attention"),
+    "train_path": ("data", "train_path"),
+    "dev_path": ("data", "dev_path"),
+    "test_path": ("data", "test_path"),
+    "embed_root": ("data", "embed_root"),
+    "max_tags": ("data", "max_tags"),
+    "max_imgs": ("data", "max_imgs"),
+    "learning_rate": ("optim", "learning_rate"),
+    "critic_learning_rate": ("optim", "critic_learning_rate"),
+    "optimizer": ("optim", "optimizer"),
+    "scheduler": ("optim", "scheduler"),
+    "warmup": ("optim", "warmup"),
+    "max_timesteps": ("ppo", "max_timesteps"),
+    "update_timesteps": ("ppo", "update_timesteps"),
+    "eps_clip": ("ppo", "eps_clip"),
+    "kl_div_loss_weight": ("ppo", "kl_div_loss_weight"),
+    "entropy_weight": ("ppo", "entropy_weight"),
+    "value_clip": ("ppo", "value_clip"),
+    "dp": ("mesh", "dp"),
+    "tp": ("mesh", "tp"),
+    "compute_dtype": ("mesh", "compute_dtype"),
+}
+
+_TOP_FLAGS = [
+    "exp_name", "epochs_num", "batch_size", "report_steps", "seed",
+    "output_model_path", "log_path", "pretrained_model_path",
+    "reward_model_path", "config_path",
+]
+
+
+def build_parser(description: str = "lr2ppo-tpu") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=description,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    d = Config()
+    for name in _TOP_FLAGS:
+        default = getattr(d, name)
+        p.add_argument(f"--{name}", type=_argtype(default), default=None)
+    for flag, (sub, fieldname) in _FLAG_ROUTES.items():
+        default = getattr(getattr(d, sub), fieldname)
+        p.add_argument(f"--{flag}", type=_argtype(default), default=None)
+    # accepted-for-compat flags from the reference scripts (ignored)
+    for compat in ["mask", "vocab_path", "merges_path", "tokenizer",
+                   "encoder", "vit_pretrained_model_path", "vit_tokenizer",
+                   "vit_config_path", "vit_encoder", "dist_url"]:
+        p.add_argument(f"--{compat}", type=str, default=None)
+    p.add_argument("--use_pairwise", action="store_true")
+    return p
+
+
+def _argtype(default):
+    if isinstance(default, bool):
+        return lambda s: s.lower() in ("1", "true", "yes")
+    if isinstance(default, int):
+        return int
+    if isinstance(default, float):
+        return float
+    return str
+
+
+def parse_config(argv: Optional[List[str]] = None,
+                 description: str = "lr2ppo-tpu") -> Config:
+    """defaults < JSON config < explicit CLI flags (reference precedence)."""
+    argv = sys.argv[1:] if argv is None else argv
+    ns, _unknown = build_parser(description).parse_known_args(argv)
+    cfg = Config()
+    if ns.config_path:
+        cfg = load_hyperparam(cfg, ns.config_path)
+    overrides: dict = {}
+    for name in _TOP_FLAGS:
+        v = getattr(ns, name)
+        if v is not None:
+            overrides[name] = v
+    cfg = _merge_into(cfg, overrides)
+    for flag, (sub, fieldname) in _FLAG_ROUTES.items():
+        v = getattr(ns, flag, None)
+        if v is not None:
+            cfg = _merge_into(cfg, {sub: {fieldname: v}})
+    return cfg

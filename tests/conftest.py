@@ -1,0 +1,16 @@
+"""Test harness: run everything on a fake 8-device CPU backend so the
+multi-chip sharding paths are exercised without TPU hardware (the TPU
+analogue of a fake process group)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
