@@ -42,8 +42,10 @@ def test_ndcg_perfect_ranking_is_one():
 
 
 def test_device_matches_host_random():
+    # single padded shape + mask: the bucketed eval path (one compile)
     rng = np.random.RandomState(7)
-    for _ in range(20):
+    T = 32
+    for _ in range(8):
         t = rng.randint(2, 30)
         gold = rng.randint(0, 3, size=t)
         scores = rng.randn(t)
@@ -51,8 +53,12 @@ def test_device_matches_host_random():
         pred_rel = gold[order]
         ideal = np.sort(gold)[::-1]
         host = [ndcg_at_k(pred_rel, ideal, k) for k in NDCG_AT_K_DEFAULT]
-        dev = np.asarray(ndcg_from_scores(jnp.array(scores), jnp.array(gold)))
-        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+        pad_gold = np.zeros(T); pad_gold[:t] = gold
+        pad_scores = np.zeros(T); pad_scores[:t] = scores
+        mask = np.arange(T) < t
+        dev = np.asarray(ndcg_from_scores(
+            jnp.array(pad_scores), jnp.array(pad_gold), mask=jnp.array(mask)))
+        np.testing.assert_allclose(dev, host, rtol=5e-5, atol=1e-6)
 
 
 def test_masked_padding_invariance():
