@@ -1,0 +1,195 @@
+"""Fusion building blocks: Mlp and the XiT cross-attention transformer.
+
+TPU-native re-design of the reference blocks (finetune/xit.py, plus the
+Mlp duplicated in every driver, e.g. finetune/ppo.py:154-170). Faithful
+mode reproduces the reference's attention quirks exactly so imported
+PyTorch checkpoints produce identical outputs:
+
+  * no pre-softmax scaling; probabilities are divided by sqrt(feat_size)
+    AFTER the softmax (xit.py:142-143);
+  * the 'causal' mask is a NO-OP — the reference calls the non-in-place
+    `energy.masked_fill(...)` and discards the result (xit.py:138-140),
+    so causal XiT attends fully-visibly.
+
+Fast mode (`faithful=False`) is standard pre-scaled dot-product attention
+with a real causal mask option.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def torch_linear_kernel_init(dtype=jnp.float32):
+    """torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    return jax.nn.initializers.variance_scaling(
+        1.0 / 3.0, "fan_in", "uniform", dtype=dtype
+    )
+
+
+def torch_linear_bias_init(fan_in: int, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def normal_002_init(dtype=jnp.float32):
+    """Reference from-scratch init: normal(0, 0.02) (ppo.py:362-365)."""
+    return jax.nn.initializers.normal(0.02, dtype=dtype)
+
+
+class TorchDense(nn.Module):
+    """Dense layer matching torch.nn.Linear's default init.
+
+    `init_style`: 'torch_default' | 'normal_0.02' (reference init paths,
+    see pointwise.py:239-271 vs ppo.py:362-365).
+    """
+
+    features: int
+    init_style: str = "torch_default"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        fan_in = x.shape[-1]
+        if self.init_style == "normal_0.02":
+            kinit = normal_002_init()
+            binit = normal_002_init()
+        else:
+            kinit = torch_linear_kernel_init()
+            binit = torch_linear_bias_init(fan_in)
+        kernel = self.param("kernel", kinit, (fan_in, self.features), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", binit, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU(exact) -> drop -> fc2 -> drop (reference ppo.py:154-170)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    init_style: str = "torch_default"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = TorchDense(self.hidden_features, self.init_style, dtype=self.dtype,
+                       name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = TorchDense(self.out_features, self.init_style, dtype=self.dtype,
+                       name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class XiTAttention(nn.Module):
+    """Multi-head cross attention, Q from x, K/V from y (xit.py:113-148)."""
+
+    feat_size: int = 768
+    num_heads: int = 8
+    causal: bool = False
+    faithful: bool = True
+    attn_drop: float = 0.0
+    init_style: str = "torch_default"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array,
+                 deterministic: bool = True) -> Array:
+        d = self.feat_size
+        h = self.num_heads
+        dh = d // h
+        q = TorchDense(d, self.init_style, dtype=self.dtype, name="queries")(x)
+        k = TorchDense(d, self.init_style, dtype=self.dtype, name="keys")(y)
+        v = TorchDense(d, self.init_style, dtype=self.dtype, name="values")(y)
+
+        *bq, nq, _ = q.shape
+        *bk, nk, _ = k.shape
+        q = q.reshape(*bq, nq, h, dh)
+        k = k.reshape(*bk, nk, h, dh)
+        v = v.reshape(*bk, nk, h, dh)
+
+        # (..., h, nq, nk); leading batch dims of y broadcast against x's
+        energy = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                            preferred_element_type=self.dtype or jnp.float32)
+
+        if self.faithful:
+            # reference quirk: softmax of UNSCALED energies, then divide the
+            # probabilities by sqrt(feat_size); the causal mask is a no-op.
+            att = jax.nn.softmax(energy, axis=-1) / math.sqrt(d)
+        else:
+            energy = energy / math.sqrt(dh)
+            if self.causal:
+                mask = jnp.tril(jnp.ones((nq, nk), dtype=bool))
+                energy = jnp.where(mask, energy, jnp.finfo(energy.dtype).min)
+            att = jax.nn.softmax(energy, axis=-1)
+
+        att = nn.Dropout(self.attn_drop)(att, deterministic=deterministic)
+        out = jnp.einsum("...hqk,...khd->...qhd", att, v,
+                         preferred_element_type=self.dtype or jnp.float32)
+        out = out.reshape(*bq, nq, d)
+        out = TorchDense(d, self.init_style, dtype=self.dtype,
+                         name="projection")(out)
+        return out
+
+
+class XiT(nn.Module):
+    """One pre-LN cross-attention block + FFN + final LayerNorm.
+
+    Reference structure (xit.py:9-42): XEncoderBlock =
+      ResidualAddFusion(LN_x/LN_y -> MHA -> Dropout) then
+      ResidualAdd(LN -> FFN -> Dropout), followed by XFeatureLayer (LN).
+    """
+
+    feat_size: int = 768
+    num_heads: int = 8
+    causal: bool = False
+    faithful: bool = True
+    drop_p: float = 0.1
+    forward_drop_p: float = 0.1
+    forward_expansion: int = 4
+    init_style: str = "torch_default"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array,
+                 deterministic: bool = True) -> Array:
+        xn = nn.LayerNorm(epsilon=1e-5, name="ln_x")(x)
+        yn = nn.LayerNorm(epsilon=1e-5, name="ln_y")(y)
+        att = XiTAttention(
+            feat_size=self.feat_size, num_heads=self.num_heads,
+            causal=self.causal, faithful=self.faithful,
+            init_style=self.init_style, dtype=self.dtype, name="attn",
+        )(xn, yn, deterministic=deterministic)
+        att = nn.Dropout(self.drop_p)(att, deterministic=deterministic)
+        x = x + att
+
+        hn = nn.LayerNorm(epsilon=1e-5, name="ln_ffn")(x)
+        hdn = self.forward_expansion * self.feat_size
+        hcur = TorchDense(hdn, self.init_style, dtype=self.dtype,
+                          name="ffn_fc1")(hn)
+        hcur = nn.gelu(hcur, approximate=False)
+        hcur = nn.Dropout(self.forward_drop_p)(hcur, deterministic=deterministic)
+        hcur = TorchDense(self.feat_size, self.init_style, dtype=self.dtype,
+                          name="ffn_fc2")(hcur)
+        hcur = nn.Dropout(self.drop_p)(hcur, deterministic=deterministic)
+        x = x + hcur
+
+        return nn.LayerNorm(epsilon=1e-5, name="ln_out")(x)

@@ -1,0 +1,215 @@
+"""Checkpointing: native (orbax if present, else npz pytree) plus a
+PyTorch state_dict importer/exporter honoring the reference key contract.
+
+Reference key contracts (SURVEY §2.2):
+  * stage-1 ckpt loads into Actor strict=True (ppo.py:358-361);
+  * stage-2 reward ckpt loads into BOTH Critic and Reward strict=True
+    (ppo.py:769-771);
+  * ppo_eval loads one ckpt into the whole ActorCritic strict=True
+    ('actor.'/'critic.' prefixes, ppo_eval.py:336-343);
+  * the vit_ key-prefix remapping convention (pointwise.py:253-258).
+
+The torch module tree is flat Sequentials, e.g.
+  xit.0.0.0.fn.0.ln_x.weight      (pre-attention LayerNorm on queries)
+  xit.0.0.0.fn.1.queries.weight   (attention projections)
+  xit.0.0.1.fn.0.weight           (pre-FFN LayerNorm)
+  xit.0.0.1.fn.1.0.weight         (FFN fc1)   xit.0.0.1.fn.1.3.weight (fc2)
+  xit.1.0.weight                  (final LayerNorm)
+which we map onto the flax tree (trunk/{text_proj,img_proj,xit,out_layer},
+pos_emb, xitt, head).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# torch-key <-> flax-path mapping
+# ---------------------------------------------------------------------------
+
+# suffix mapping inside one XiT block: torch tail -> flax tail
+_XIT_TAILS = {
+    "0.0.0.fn.0.ln_x.weight": ("ln_x", "scale"),
+    "0.0.0.fn.0.ln_x.bias": ("ln_x", "bias"),
+    "0.0.0.fn.0.ln_y.weight": ("ln_y", "scale"),
+    "0.0.0.fn.0.ln_y.bias": ("ln_y", "bias"),
+    "0.0.0.fn.1.queries.weight": ("attn", "queries", "kernel"),
+    "0.0.0.fn.1.queries.bias": ("attn", "queries", "bias"),
+    "0.0.0.fn.1.keys.weight": ("attn", "keys", "kernel"),
+    "0.0.0.fn.1.keys.bias": ("attn", "keys", "bias"),
+    "0.0.0.fn.1.values.weight": ("attn", "values", "kernel"),
+    "0.0.0.fn.1.values.bias": ("attn", "values", "bias"),
+    "0.0.0.fn.1.projection.weight": ("attn", "projection", "kernel"),
+    "0.0.0.fn.1.projection.bias": ("attn", "projection", "bias"),
+    "0.0.1.fn.0.weight": ("ln_ffn", "scale"),
+    "0.0.1.fn.0.bias": ("ln_ffn", "bias"),
+    "0.0.1.fn.1.0.weight": ("ffn_fc1", "kernel"),
+    "0.0.1.fn.1.0.bias": ("ffn_fc1", "bias"),
+    "0.0.1.fn.1.3.weight": ("ffn_fc2", "kernel"),
+    "0.0.1.fn.1.3.bias": ("ffn_fc2", "bias"),
+    "1.0.weight": ("ln_out", "scale"),
+    "1.0.bias": ("ln_out", "bias"),
+}
+
+# modules that live under the trunk in the flax tree
+_TRUNK_MODULES = ("text_proj", "img_proj", "out_layer", "xit")
+
+
+def _route(torch_key: str):
+    """torch state_dict key -> flax path tuple (inside one model)."""
+    parts = torch_key.split(".")
+    head_mod = parts[0]
+    if head_mod in ("xit", "xitt"):
+        tail = ".".join(parts[1:])
+        if tail not in _XIT_TAILS:
+            raise KeyError(f"unrecognized XiT key: {torch_key}")
+        flax_tail = _XIT_TAILS[tail]
+        if head_mod == "xit":
+            return ("trunk", "xit") + flax_tail
+        return ("xitt",) + flax_tail
+    if head_mod in ("text_proj", "img_proj", "out_layer") or head_mod.startswith("text_proj"):
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        base = (("trunk", head_mod) if head_mod in _TRUNK_MODULES
+                else (head_mod,))  # text_proj3 of the 2-data model is top-level
+        return base + (parts[1], leaf)
+    if head_mod == "head":
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        return ("head", leaf)
+    if head_mod == "pos_emb":
+        return ("pos_emb",)
+    raise KeyError(f"unrecognized key: {torch_key}")
+
+
+def _is_linear_weight(path) -> bool:
+    return path[-1] == "kernel"
+
+
+def torch_to_flax(state_dict: Dict[str, np.ndarray]) -> dict:
+    """Convert a (single-model) torch state_dict to a flax params dict.
+
+    Linear weights are transposed (torch stores (out, in), flax (in, out)).
+    For the 2-data model, text_proj/text_proj3 are placed at the top level
+    to mirror TwoDataScoreModel.
+    """
+    tree: dict = {}
+    for k, v in state_dict.items():
+        arr = np.asarray(v)
+        path = _route(k)
+        if _is_linear_weight(path):
+            arr = arr.T
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(arr)
+    # 2-data model fix-up: if there is no img_proj/xit duality issue the
+    # trunk/xit placement already matches; text_projN keys landed top-level.
+    return {"params": tree}
+
+
+def split_actor_critic(state_dict: Dict[str, np.ndarray]):
+    """Split an ActorCritic checkpoint ('actor.'/'critic.' prefixes,
+    ppo_eval.py:336-343) into two single-model state_dicts."""
+    actor, critic = {}, {}
+    for k, v in state_dict.items():
+        if k.startswith("actor."):
+            actor[k[len("actor."):]] = v
+        elif k.startswith("critic."):
+            critic[k[len("critic."):]] = v
+        else:
+            raise KeyError(f"unexpected ActorCritic key: {k}")
+    return actor, critic
+
+
+def flax_to_torch(params: dict, two_data: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse mapping: flax params -> reference-keyed numpy state_dict."""
+    tree = params.get("params", params)
+    flat = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            flat[path] = np.asarray(node)
+
+    walk(tree, ())
+    inv_tails = {v: k for k, v in _XIT_TAILS.items()}
+    out = {}
+    for path, arr in flat.items():
+        if path[0] == "trunk":
+            mod = path[1]
+            if mod == "xit":
+                out[f"xit.{inv_tails[path[2:]]}"] = (
+                    arr.T if path[-1] == "kernel" else arr)
+            else:
+                leaf = "weight" if path[-1] == "kernel" else "bias"
+                out[f"{mod}.{path[2]}.{leaf}"] = (
+                    arr.T if path[-1] == "kernel" else arr)
+        elif path[0] == "xitt":
+            out[f"xitt.{inv_tails[path[1:]]}"] = (
+                arr.T if path[-1] == "kernel" else arr)
+        elif path[0] == "pos_emb":
+            out["pos_emb.weight"] = arr
+        elif path[0] == "head":
+            leaf = "weight" if path[-1] == "kernel" else "bias"
+            out[f"head.{leaf}"] = arr.T if path[-1] == "kernel" else arr
+        elif path[0].startswith("text_proj"):  # 2-data top-level projections
+            leaf = "weight" if path[-1] == "kernel" else "bias"
+            out[f"{path[0]}.{path[1]}.{leaf}"] = (
+                arr.T if path[-1] == "kernel" else arr)
+        else:
+            raise KeyError(f"unmapped flax path {path}")
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a reference .bin checkpoint to numpy (CPU torch)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def import_pretrained(path: str, kind: str = "single") -> dict:
+    """kind: 'single' (Actor/Classifier/Reward ckpt) or 'actor_critic'."""
+    sd = load_torch_checkpoint(path)
+    if kind == "actor_critic":
+        a, c = split_actor_critic(sd)
+        return {"actor": torch_to_flax(a), "critic": torch_to_flax(c)}
+    return torch_to_flax(sd)
+
+
+# ---------------------------------------------------------------------------
+# native checkpoints (save-best contract: model_saver.py:4-11)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, tree, metadata: Optional[dict] = None) -> None:
+    """Save a pytree (params and/or optimizer state) atomically."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    host_tree = jax.tree.map(np.asarray, tree)
+    payload = {"tree": host_tree, "metadata": metadata or {}}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return (jax.tree.map(jnp.asarray, payload["tree"]), payload["metadata"])
+
+
+def save_torch_compatible(path: str, params: dict) -> None:
+    """Export params as a reference-keyed torch .bin for interop."""
+    import torch
+
+    sd = {k: torch.tensor(v) for k, v in flax_to_torch(params).items()}
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    torch.save(sd, path)
