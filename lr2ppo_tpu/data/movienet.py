@@ -1,0 +1,134 @@
+"""LRMovieNet dataset: JSON tag lists + HDF5 precomputed embeddings.
+
+Layout (reference finetune/ppo.py:58-151): JSON items
+  {"id": str, "tags": [{"tag": str, "target": 0|1|2}, ...], "index"?: [[i,j]...]}
+and clean_feat.h5 with per-item groups holding
+  text_emb: (tags, 196, 768) float   img_emb: (1, n_imgs, 768) float.
+
+Four sampling modes matching the three stage dataloaders + shared eval:
+
+  pointwise — truncate/augment tag lists to max_tags favoring non-zero
+              targets (pointwise.py:96-119)
+  reward    — pre-built pair lists from item['index'], chosen/reject
+              4-index patterns with a fair coin swap
+              (reward_pair_dataloader.py:127-143); eval mode samples one
+              tag per class and orders by target (ibid.:144-166)
+  ppo       — max_tags random 2-tag subsets per item, targets ignored
+              (ppo.py:92-105)
+  eval      — full tag list per item (padded/bucketed by the EvalLoader)
+
+Every mode pads/cycles images to max_imgs with a per-item shuffle
+(ppo.py:125-138). All outputs are numpy with static shapes per mode.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _pad_images(img: np.ndarray, max_imgs: int, rng: np.random.Generator):
+    n = img.shape[0]
+    img = img[rng.permutation(n)]
+    if n >= max_imgs:
+        return np.ascontiguousarray(img[:max_imgs])
+    reps = [img[i % n] for i in range(n, max_imgs)]
+    return np.concatenate([img, np.stack(reps)], axis=0)
+
+
+def _reward_eval_pair(tags: List[dict], pick: List[int],
+                      rng: np.random.Generator):
+    """get_index (reward_pair_dataloader.py:77-84): random 2 of the subset,
+    chosen = ordered-correctly 4-index, reject = swapped tail."""
+    idx = list(rng.permutation(len(pick))[:2])
+    if tags[pick[idx[0]]]["target"] >= tags[pick[idx[1]]]["target"]:
+        return idx + idx, idx + [idx[1], idx[0]]
+    return idx + [idx[1], idx[0]], idx + idx
+
+
+class MovieNetDataset:
+    """Index-addressable host dataset; `get(i)` returns a dict of numpy
+    arrays. Rebuild per epoch for fresh pair sampling (ppo.py:816)."""
+
+    def __init__(self, json_path: str, h5_path: str, mode: str,
+                 max_tags: int = 32, max_imgs: int = 16,
+                 seed: int = 0, data: Optional[list] = None,
+                 h5_file=None):
+        assert mode in ("pointwise", "reward", "reward_eval", "ppo", "eval")
+        self.mode = mode
+        self.max_imgs = max_imgs
+        self.rng = np.random.default_rng(seed)
+        if data is None:
+            with open(json_path) as f:
+                data = json.load(f)
+        if h5_file is None:
+            import h5py
+
+            h5_file = h5py.File(h5_path, "r")
+        self.h5 = h5_file
+
+        # Per-example plan: (item_id, tag_index, chosen_index, reject_index)
+        self.examples: List[tuple] = []
+        self.targets_of: Dict[str, List[int]] = {}
+        for item in data:
+            iid = item["id"]
+            tags = item["tags"]
+            t = len(tags)
+            self.targets_of[iid] = [int(x["target"]) for x in tags]
+            if mode == "pointwise":
+                self.examples.append((iid, self._pointwise_plan(tags, max_tags),
+                                      None, None))
+            elif mode == "reward":
+                for pair in item.get("index", []):
+                    if self.rng.random() < 0.5:
+                        ch, rj = [0, 1, 0, 1], [0, 1, 1, 0]
+                    else:
+                        ch, rj = [1, 0, 0, 1], [1, 0, 1, 0]
+                    self.examples.append((iid, list(pair), ch, rj))
+            elif mode == "reward_eval":
+                by_cls = {c: [i for i, x in enumerate(tags)
+                              if int(x["target"]) == c] for c in range(3)}
+                if min(len(v) for v in by_cls.values()) == 0:
+                    continue
+                for _ in range(max_tags):
+                    pick = [by_cls[c][self.rng.integers(len(by_cls[c]))]
+                            for c in range(3)]
+                    ch, rj = _reward_eval_pair(tags, pick, self.rng)
+                    # ch/rj index into the 3-tag subset `pick`
+                    self.examples.append((iid, pick, ch, rj))
+            elif mode == "ppo":
+                for _ in range(max_tags):
+                    pair = list(self.rng.permutation(t)[:2])
+                    self.examples.append((iid, pair, None, None))
+            else:  # eval
+                self.examples.append((iid, list(range(t)), None, None))
+
+    @staticmethod
+    def _pointwise_plan(tags: List[dict], max_tags: int) -> List[int]:
+        t = len(tags)
+        if t > max_tags:
+            return list(range(max_tags))
+        idx = list(range(t))
+        add = [i for i in range(t) if int(tags[i]["target"]) != 0]
+        for i in range(t, max_tags):
+            idx.append(add[i % len(add)] if add else i % t)
+        return idx
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        iid, tag_index, ch, rj = self.examples[i]
+        grp = self.h5[str(iid)]
+        text = np.asarray(grp["text_emb"][:], dtype=np.float32)[tag_index]
+        img_all = np.asarray(grp["img_emb"][:], dtype=np.float32)[0]
+        img = _pad_images(img_all, self.max_imgs, self.rng)
+        tgts = np.asarray(
+            [self.targets_of[iid][j] for j in tag_index], dtype=np.int32)
+        out = {"text": text, "img": img, "tgts": tgts}
+        if ch is not None:
+            out["chosen_index"] = np.asarray(ch, dtype=np.int32)
+            out["reject_index"] = np.asarray(rj, dtype=np.int32)
+        return out

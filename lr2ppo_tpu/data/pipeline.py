@@ -1,0 +1,146 @@
+"""Host-side input pipeline: shuffled batching with background prefetch.
+
+Replaces the reference's DataLoader(num_workers=32) + DistributedSampler
+(ppo.py:684-699) with a thread-pool prefetcher feeding static-shape numpy
+batches; device transfer and dp-sharding happen in the trainer via
+parallel.put_batch. Eval uses shape buckets + masks instead of bs=1
+ragged batches so XLA compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class Loader:
+    """Shuffling, fixed-batch loader with double-buffered prefetch.
+
+    drop_last=False pads the final batch by wrapping around (weighting is
+    negligible and shapes stay static, which XLA requires).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, num_workers: int = 8,
+                 prefetch_depth: int = 2, drop_last: bool = False):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_workers = num_workers
+        self.prefetch_depth = prefetch_depth
+        self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        batches = []
+        for s in range(0, n, self.bs):
+            idx = order[s: s + self.bs]
+            if len(idx) < self.bs:
+                if self.drop_last:
+                    break
+                idx = np.concatenate([idx, order[: self.bs - len(idx)]])
+            batches.append(idx)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batch_indices()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+
+        def make_batch(idx):
+            return _collate([self.ds.get(int(i)) for i in idx])
+
+        def producer():
+            try:
+                futures = [pool.submit(make_batch, idx) for idx in batches]
+                for f in futures:
+                    if stop.is_set():
+                        break
+                    q.put(f.result())
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+class EvalLoader:
+    """Bucketed eval batching: items grouped by padded tag count so XLA
+    compiles one program per (bucket, batch) shape; a boolean mask marks
+    real tags (NDCG honors it)."""
+
+    def __init__(self, dataset, buckets: Sequence[int],
+                 batch_size: int = 8):
+        self.ds = dataset
+        self.buckets = sorted(buckets)
+        self.bs = batch_size
+
+    def _bucket(self, t: int) -> int:
+        for b in self.buckets:
+            if t <= b:
+                return b
+        return self.buckets[-1]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        by_bucket: Dict[int, List[int]] = {}
+        for i in range(len(self.ds)):
+            t = len(self.ds.examples[i][1]) if hasattr(self.ds, "examples") \
+                else self.ds.get(i)["text"].shape[0]
+            by_bucket.setdefault(self._bucket(t), []).append(i)
+        for bucket, ids in sorted(by_bucket.items()):
+            for s in range(0, len(ids), self.bs):
+                chunk = ids[s: s + self.bs]
+                items = [self._pad(self.ds.get(i), bucket) for i in chunk]
+                while len(items) < self.bs:   # static batch: repeat last,
+                    items.append({**items[-1],  # fully masked out
+                                  "mask": np.zeros(bucket, dtype=bool)})
+                yield _collate(items)
+
+    @staticmethod
+    def _pad(item: Dict[str, np.ndarray], bucket: int) -> Dict[str, np.ndarray]:
+        t = item["text"].shape[0]
+        pad_t = bucket - t
+        out = dict(item)
+        if pad_t > 0:
+            text_pad = np.zeros((pad_t,) + item["text"].shape[1:],
+                                dtype=item["text"].dtype)
+            out["text"] = np.concatenate([item["text"], text_pad], axis=0)
+            out["tgts"] = np.concatenate(
+                [item["tgts"], np.zeros(pad_t, dtype=item["tgts"].dtype)])
+        elif pad_t < 0:   # item larger than biggest bucket: truncate
+            out["text"] = item["text"][:bucket]
+            out["tgts"] = item["tgts"][:bucket]
+            t = bucket
+        out["mask"] = np.arange(bucket) < t
+        return out

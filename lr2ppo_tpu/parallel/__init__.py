@@ -1,0 +1,8 @@
+from lr2ppo_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_shardings,
+    shard_params,
+    put_batch,
+)

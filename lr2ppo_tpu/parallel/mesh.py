@@ -1,0 +1,90 @@
+"""Device mesh + sharding layout.
+
+Replaces the reference's NCCL/torchrun substrate (finetune/misc.py:77-107)
+with a single-process SPMD design: one `jax.sharding.Mesh` with axes
+
+  dp — data parallel: the batch axis is sharded; gradient psum is inserted
+       by XLA because params are replicated across dp (the idiomatic —
+       and, unlike the reference's unsynced replicas (SURVEY §2.5), truly
+       synchronized — data parallelism);
+  tp — tensor parallel: megatron-style column/row sharding of the wide
+       fusion MLPs (out_layer fc1 is a 162816x3072 matmul — the FLOPs
+       hot spot) so activations psum over ICI.
+
+All collectives are compiled into the jitted step; there is no separate
+rendezvous, barrier, or process group.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = -1, tp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        dp = max(n // tp, 1)
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over dp; everything else replicated."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# flax param-path suffixes -> PartitionSpec (megatron MLP sharding)
+_RULES = [
+    (("fc1", "kernel"), P(None, "tp")),
+    (("fc1", "bias"), P("tp")),
+    (("fc2", "kernel"), P("tp", None)),
+    (("ffn_fc1", "kernel"), P(None, "tp")),
+    (("ffn_fc1", "bias"), P("tp")),
+    (("ffn_fc2", "kernel"), P("tp", None)),
+    (("queries", "kernel"), P(None, "tp")),
+    (("queries", "bias"), P("tp")),
+    (("keys", "kernel"), P(None, "tp")),
+    (("keys", "bias"), P("tp")),
+    (("values", "kernel"), P(None, "tp")),
+    (("values", "bias"), P("tp")),
+    (("projection", "kernel"), P("tp", None)),
+]
+
+
+def _spec_for(path) -> P:
+    names = tuple(
+        getattr(p, "key", getattr(p, "name", str(p))) for p in path
+    )
+    for suffix, spec in _RULES:
+        if names[-len(suffix):] == suffix:
+            return spec
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding tree for a param pytree: tp for the wide MLPs and
+    attention projections, replicated otherwise (and across dp)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: NamedSharding(mesh, _spec_for(path)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def put_batch(batch, mesh: Mesh):
+    """Host batch -> device arrays sharded batch-axis-over-dp."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

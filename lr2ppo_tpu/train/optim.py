@@ -1,0 +1,129 @@
+"""Optimizers and LR schedules with reference semantics.
+
+Reference: tencentpretrain/utils/optimizers.py — AdamW (HF-style,
+`correct_bias=False` => no bias correction, decoupled weight decay scaled
+by the *scheduled* lr) and the str2scheduler family; grouped so that
+parameters whose torch name contains 'bias'/'gamma'/'beta' get no decay
+(ppo.py:381-393). In the reference's finetune models no parameter is
+named gamma/beta, so ONLY biases are exempt — LayerNorm scales are
+decayed; we reproduce that: decay every leaf not named 'bias'.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class AdamState(NamedTuple):
+    count: jax.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_adam_hf(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+                     correct_bias: bool = False) -> optax.GradientTransformation:
+    """Adam moment scaling matching the reference step math
+    (optimizers.py:375-391): denom = sqrt(v) + eps, optional bias
+    correction folded into the step size."""
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return AdamState(jnp.zeros([], jnp.int32), z,
+                         jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        if correct_bias:
+            c = count.astype(jnp.float32)
+            step_scale = jnp.sqrt(1 - b2 ** c) / (1 - b1 ** c)
+        else:
+            step_scale = 1.0
+        upd = jax.tree.map(
+            lambda m, v: step_scale * m / (jnp.sqrt(v) + eps), mu, nu)
+        return upd, AdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def decay_mask(params) -> optax.Params:
+    """True (decay) for every leaf whose flax name is not 'bias'."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_decay(path):
+        last = path[-1]
+        name = getattr(last, "key", getattr(last, "name", str(last)))
+        return name != "bias"
+
+    mask_flat = [is_decay(p) for p, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, mask_flat)
+
+
+def make_schedule(name: str, base_lr: float, train_steps: int,
+                  warmup: float) -> Callable[[jax.Array], jax.Array]:
+    """str2scheduler equivalents (optimizers.py:25-300). The scheduler is
+    stepped once per optimizer step, starting from factor(0)."""
+    w = max(int(train_steps * warmup), 1)
+
+    if name == "constant":
+        return lambda t: jnp.asarray(base_lr)
+    if name == "constant_with_warmup":
+        return lambda t: base_lr * jnp.minimum(1.0, (t + 0.0) / w)
+    if name == "linear":
+        def sched(t):
+            t = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+            warm = t / w
+            decay = jnp.maximum(0.0, (train_steps - t) /
+                                jnp.maximum(1.0, train_steps - w))
+            return base_lr * jnp.where(t < w, warm, decay)
+        return sched
+    if name == "cosine":
+        def sched(t):
+            t = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+            warm = t / w
+            prog = jnp.clip((t - w) / jnp.maximum(1.0, train_steps - w), 0, 1)
+            return base_lr * jnp.where(
+                t < w, warm, 0.5 * (1.0 + jnp.cos(jnp.pi * prog)))
+        return sched
+    if name == "inverse_sqrt":
+        def sched(t):
+            t = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+            warm = t / w
+            return base_lr * jnp.where(t < w, warm, jnp.sqrt(w / jnp.maximum(t, 1)))
+        return sched
+    if name == "polynomial":
+        def sched(t):
+            t = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+            warm = t / w
+            prog = jnp.clip((t - w) / jnp.maximum(1.0, train_steps - w), 0, 1)
+            return base_lr * jnp.where(t < w, warm, (1.0 - prog))
+        return sched
+    raise ValueError(f"unknown scheduler: {name}")
+
+
+def build_optimizer(optim_cfg, train_steps: int,
+                    lr: Optional[float] = None) -> optax.GradientTransformation:
+    """AdamW/Adafactor + schedule, mirroring build_optimizer
+    (ppo.py:378-419). `lr` overrides (actor vs critic learning rates)."""
+    base_lr = lr if lr is not None else optim_cfg.learning_rate
+    sched = make_schedule(optim_cfg.scheduler, base_lr, train_steps,
+                          optim_cfg.warmup)
+    if optim_cfg.optimizer == "adafactor":
+        return optax.adafactor(learning_rate=sched)
+
+    chain = [
+        scale_by_adam_hf(optim_cfg.beta1, optim_cfg.beta2, optim_cfg.adam_eps,
+                         optim_cfg.correct_bias),
+        optax.add_decayed_weights(optim_cfg.weight_decay, mask=decay_mask),
+        optax.scale_by_learning_rate(sched),  # negates
+    ]
+    if optim_cfg.grad_clip:
+        chain.insert(0, optax.clip_by_global_norm(optim_cfg.grad_clip))
+    return optax.chain(*chain)

@@ -1,0 +1,69 @@
+"""Synthetic tiny fixtures: LRMovieNet-style json+h5 and LETOR arrays."""
+
+import json
+import os
+
+import numpy as np
+
+
+def make_movienet(dirpath, n_items=6, seq=4, feat=16, max_tag_range=(3, 7),
+                  n_imgs_range=(1, 5), seed=0, with_index=True):
+    """Writes data.json + clean_feat.h5; returns (json_path, h5_path)."""
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    items = []
+    h5_path = os.path.join(dirpath, "clean_feat.h5")
+    with h5py.File(h5_path, "w") as hf:
+        for i in range(n_items):
+            iid = f"item{i}"
+            t = rng.randint(*max_tag_range)
+            tags = [{"tag": f"t{j}", "target": int(rng.randint(0, 3))}
+                    for j in range(t)]
+            # guarantee all three classes exist for reward_eval mode
+            for c in range(3):
+                tags[c % t]["target"] = c
+            item = {"id": iid, "tags": tags}
+            if with_index:
+                item["index"] = [
+                    sorted(rng.choice(t, 2, replace=False).tolist())
+                    for _ in range(3)
+                ]
+            items.append(item)
+            g = hf.create_group(iid)
+            g.create_dataset("text_emb",
+                             data=rng.randn(t, seq, feat).astype(np.float32))
+            n_imgs = rng.randint(*n_imgs_range)
+            g.create_dataset("img_emb",
+                             data=rng.randn(1, n_imgs, feat).astype(np.float32))
+    json_path = os.path.join(dirpath, "data.json")
+    with open(json_path, "w") as f:
+        json.dump(items, f)
+    return json_path, h5_path
+
+
+def make_letor_groups(n_queries=5, docs=20, n_feat=16, n_classes=3, seed=0):
+    """{qid: (docs, 2+F)} grouped arrays like convert_to_h5py output."""
+    rng = np.random.RandomState(seed)
+    groups = {}
+    for q in range(n_queries):
+        labels = rng.randint(0, n_classes, size=(docs, 1)).astype(np.float32)
+        # ensure at least 2 distinct classes per query
+        labels[0, 0], labels[1, 0] = 0.0, float(n_classes - 1)
+        qid = np.full((docs, 1), q, dtype=np.float32)
+        feats = rng.randn(docs, n_feat).astype(np.float32)
+        groups[q] = np.concatenate([labels, qid, feats], axis=1)
+    return groups
+
+
+def make_svmlight(path, n_rows=30, n_feat=8, n_qids=3, seed=0):
+    rng = np.random.RandomState(seed)
+    with open(path, "w") as f:
+        for _ in range(n_rows):
+            qid = rng.randint(0, n_qids)
+            label = rng.randint(0, 3)
+            feats = " ".join(
+                f"{j+1}:{rng.randn():.4f}" for j in range(n_feat))
+            f.write(f"{label} qid:{qid} {feats}\n")
+    return path
