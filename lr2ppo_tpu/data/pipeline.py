@@ -79,6 +79,9 @@ class Loader:
                     if stop.is_set():
                         break
                     q.put(f.result())
+            except Exception:
+                if not stop.is_set():
+                    raise
             finally:
                 q.put(None)
 

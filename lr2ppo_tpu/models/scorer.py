@@ -164,20 +164,26 @@ class TwoDataScoreModel(nn.Module):
         i = self.cfg.trad_dims.index(dim)
         return "text_proj" if i == 0 else f"text_proj{i + 2}"
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.feat_size
+        self.projs = {
+            dim: Mlp(cfg.mlp_ratio * d, d, 0.0, cfg.init_style, self.dtype,
+                     name=self._proj_name(dim))
+            for dim in cfg.trad_dims
+        }
+        self.trunk = FusionTrunk(cfg, self.dtype)
+        out = 1 if cfg.mode == "reg" else cfg.labels_num
+        self.head = TorchDense(out, cfg.init_style, dtype=self.dtype)
+
     def __call__(self, text_emb: Array, img_emb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         cfg = self.cfg
-        d = cfg.feat_size
         dim = text_emb.shape[-1]
-        proj = Mlp(cfg.mlp_ratio * d, d, 0.0, cfg.init_style, self.dtype,
-                   name=self._proj_name(dim))
-        tokens = proj(text_emb.astype(self.dtype)[:, :, None, :], deterministic)
-        x = FusionTrunk(cfg, self.dtype, name="trunk")(
-            None, None, deterministic, tokens=tokens)
-        out = 1 if cfg.mode == "reg" else cfg.labels_num
-        logits = TorchDense(out, cfg.init_style, dtype=self.dtype,
-                            name="head")(x)
+        tokens = self.projs[dim](
+            text_emb.astype(self.dtype)[:, :, None, :], deterministic)
+        x = self.trunk(None, None, deterministic, tokens=tokens)
+        logits = self.head(x)
         if cfg.mode == "reg":
             return logits[..., 0]
         return logits
@@ -185,10 +191,7 @@ class TwoDataScoreModel(nn.Module):
     def project(self, text_emb: Array) -> Array:
         """raw (N, dim) -> unified (N, 768) features."""
         dim = text_emb.shape[-1]
-        proj = Mlp(self.cfg.mlp_ratio * self.cfg.feat_size, self.cfg.feat_size,
-                   0.0, self.cfg.init_style, self.dtype,
-                   name=self._proj_name(dim))
-        return proj(text_emb.astype(self.dtype), True)
+        return self.projs[dim](text_emb.astype(self.dtype), True)
 
 
 class ActorCritic:

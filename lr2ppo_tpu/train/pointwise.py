@@ -1,0 +1,221 @@
+"""Stage 1 — pointwise scorer trainer (both families).
+
+Reference: finetune/pointwise.py (multimodal, SmoothL1 beta=0.3 'reg' or
+NLL 'cls'), finetune/pointwise_trad.py (tabular), and
+finetune/pointwise_2data_trad.py (joint 46-d/136-d unification training
+with alternating loaders, :492-534).
+
+TPU design: one jitted train step — forward + loss + grad + AdamW update —
+over the dp/tp mesh; gradients sync implicitly (the reference only
+all_reduced *metrics* and trained independent replicas, SURVEY §2.5;
+true synchronized DP strictly dominates and is the documented deviation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lr2ppo_tpu.config import Config
+from lr2ppo_tpu.models import ScoreModel, TwoDataScoreModel
+from lr2ppo_tpu.ops import nll_3way_loss, smooth_l1_loss
+from lr2ppo_tpu.train import checkpoints
+from lr2ppo_tpu.train.common import BestSaver, DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
+from lr2ppo_tpu.train.optim import build_optimizer
+from lr2ppo_tpu.utils import MetricLogger, init_logger
+
+
+def make_train_step(model, tx, mode: str):
+    @jax.jit
+    def train_step(state: TrainState, rng, text, img, tgts):
+        def loss_fn(params):
+            scores = model.apply(params, text, img, False,
+                                 rngs={"dropout": rng})
+            if mode == "reg":
+                return smooth_l1_loss(scores, tgts, beta=0.3)
+            return nll_3way_loss(scores, tgts)
+
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn({"params": p}))(state.params["params"])
+        new_state = apply_updates(state, {"params": grads}, tx)
+        return new_state, loss
+
+    return train_step
+
+
+class PointwiseTrainer:
+    def __init__(self, cfg: Config, model=None, use_mesh: bool = True):
+        self.cfg = cfg
+        self.logger = init_logger(cfg.log_path)
+        self.metrics = MetricLogger(
+            cfg.log_path + ".jsonl" if cfg.log_path else None)
+        dtype = jnp.dtype(cfg.mesh.compute_dtype)
+        self.model = model or ScoreModel(cfg.model, dtype)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+
+    def init_params(self, sample_batch: Dict[str, np.ndarray], seed: int):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        if cfg.pretrained_model_path:
+            params = checkpoints.import_pretrained(cfg.pretrained_model_path)
+            self.logger.info(
+                f"loaded pretrained {cfg.pretrained_model_path}")
+        else:
+            b = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+            params = self.model.init(key, b["text"], b.get("img"))
+        return self.ctx.place_params(params)
+
+    def fit(self, train_loader, eval_loader, train_steps: Optional[int] = None):
+        cfg = self.cfg
+        steps_per_epoch = len(train_loader)
+        total = train_steps or int(
+            steps_per_epoch * cfg.epochs_num) + 1
+        tx = build_optimizer(cfg.optim, total)
+
+        first = next(iter(train_loader))
+        params = self.init_params(first, cfg.seed)
+        state = init_state(params, tx)
+        train_step = make_train_step(self.model, tx, cfg.model.mode)
+
+        saver = BestSaver(cfg.output_model_path, self.logger)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        step = 0
+        result = {}
+        self.logger.info(
+            f"Start training: {steps_per_epoch} steps/epoch, "
+            f"{cfg.epochs_num} epochs")
+        for epoch in range(1, cfg.epochs_num + 1):
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                b = self.ctx.put(batch)
+                key, sub = jax.random.split(key)
+                state, loss = train_step(state, sub, b["text"],
+                                         b.get("img"), b["tgts"])
+                step += 1
+                if step % cfg.report_steps == 0:
+                    loss_v = float(loss)
+                    self.logger.info(
+                        f"epoch {epoch} step {step} loss {loss_v:.6f}")
+                    result = evaluate_ndcg(self.model, state.params,
+                                           eval_loader, put=self.ctx.put)
+                    self.logger.info("NDCG:" + format_ndcg(result))
+                    self.metrics.log(step, loss=loss_v,
+                                     ndcg_full=result[100000000])
+                    saver.maybe_save(result[100000000], state.params)
+            if eval_loader is not None:
+                result = evaluate_ndcg(self.model, state.params, eval_loader,
+                                       put=self.ctx.put)
+                self.logger.info(f"epoch {epoch} NDCG:" + format_ndcg(result))
+                saver.maybe_save(result[100000000], state.params)
+        self.logger.info(f"Best NDCG: {saver.best}")
+        return state, saver.best
+
+
+class TwoDataTrainer(PointwiseTrainer):
+    """Joint training on two tabular domains with alternating batches
+    (pointwise_2data_trad.py:492-534); the model picks text_proj vs
+    text_proj3 by input dim."""
+
+    def __init__(self, cfg: Config, use_mesh: bool = True):
+        dtype = jnp.dtype(cfg.mesh.compute_dtype)
+        super().__init__(cfg, model=TwoDataScoreModel(cfg.model, dtype),
+                         use_mesh=use_mesh)
+
+    def init_params(self, sample_batches, seed: int):
+        key = jax.random.PRNGKey(seed)
+        if self.cfg.pretrained_model_path:
+            params = checkpoints.import_pretrained(
+                self.cfg.pretrained_model_path)
+        else:
+            # init once per input dim so both projections exist
+            trees = []
+            for b in sample_batches:
+                trees.append(self.model.init(key, jnp.asarray(b["text"])))
+            merged = dict(trees[0]["params"])
+            for t in trees[1:]:
+                for k, v in t["params"].items():
+                    merged.setdefault(k, v)
+            params = {"params": merged}
+        return self.ctx.place_params(params)
+
+    def fit_two(self, loaders, eval_loaders, train_steps: Optional[int] = None):
+        cfg = self.cfg
+        steps_per_epoch = sum(len(l) for l in loaders)
+        total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
+        tx = build_optimizer(cfg.optim, total)
+        firsts = [next(iter(l)) for l in loaders]
+        params = self.init_params(firsts, cfg.seed)
+        state = init_state(params, tx)
+        train_step = make_train_step(self.model, tx, cfg.model.mode)
+        saver = BestSaver(cfg.output_model_path, self.logger)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        step = 0
+        for epoch in range(1, cfg.epochs_num + 1):
+            for l in loaders:
+                l.set_epoch(epoch)
+            iters = [iter(l) for l in loaders]
+            alive = list(range(len(iters)))
+            while alive:
+                for i in list(alive):
+                    try:
+                        batch = next(iters[i])
+                    except StopIteration:
+                        alive.remove(i)
+                        continue
+                    b = self.ctx.put(batch)
+                    key, sub = jax.random.split(key)
+                    state, loss = train_step(state, sub, b["text"], None,
+                                             b["tgts"])
+                    step += 1
+                    if step % cfg.report_steps == 0:
+                        self.logger.info(
+                            f"epoch {epoch} step {step} loss {float(loss):.6f}")
+            # eval: mean NDCG over both domains
+            vals = []
+            for ev in eval_loaders:
+                r = evaluate_ndcg(self.model, state.params, ev,
+                                  put=self.ctx.put)
+                vals.append(r[100000000])
+            metric = float(np.mean(vals))
+            self.logger.info(f"epoch {epoch} mean NDCG@full {metric:.4f}")
+            saver.maybe_save(metric, state.params)
+        return state, saver.best
+
+
+def project_tsv(cfg: Config, params, input_path: str, output_path: str,
+                batch: int = 4096) -> None:
+    """Feature projection exporter (pointwise_2data_infer_trad.py:428-446):
+    projects every tsv row's raw features (46/136-d) to 768-d and writes
+    [label, qid, 768 floats] tsv. Batched + jitted instead of row-at-a-time."""
+    import os
+
+    model = TwoDataScoreModel(cfg.model)
+    rows = np.loadtxt(input_path, delimiter="\t", dtype=np.float32, ndmin=2)
+    head, feats = rows[:, :2], rows[:, 2:]
+
+    @partial(jax.jit, static_argnums=())
+    def proj(x):
+        return model.apply(params, x, method=TwoDataScoreModel.project)
+
+    outs = []
+    n = feats.shape[0]
+    for s in range(0, n, batch):
+        chunk = feats[s: s + batch]
+        if chunk.shape[0] < batch:  # pad for static shape, then trim
+            pad = np.zeros((batch - chunk.shape[0], chunk.shape[1]),
+                           np.float32)
+            out = np.asarray(proj(jnp.asarray(np.concatenate([chunk, pad]))))
+            out = out[: chunk.shape[0]]
+        else:
+            out = np.asarray(proj(jnp.asarray(chunk)))
+        outs.append(out)
+    projected = np.concatenate(outs, axis=0)
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)) or ".",
+                exist_ok=True)
+    np.savetxt(output_path, np.concatenate([head, projected], axis=1),
+               delimiter="\t", fmt="%g")

@@ -1,0 +1,272 @@
+"""Stage 3 — LR2PPO actor-critic trainer.
+
+Reference: finetune/ppo.py (multimodal) / finetune/ppo_trad.py (tabular).
+The recipe (ppo.py:815-915): per batch of 2-tag pairs,
+
+  rollout  — actor scores the pair, critic values the current state
+             (tag order), the pair is re-ranked by score (the 'action'),
+             next_state = [0,1] ++ permuted order, the FROZEN stage-2
+             reward model scores next_state; the 8-tuple memory is stored;
+  update   — every update_timesteps memories: for each memory recompute
+             actor scores + critic value, KL(old||new) penalty shifts the
+             reward, one-step advantage = reward - old_value (no GAE),
+             policy loss = RankLoss(margin .01 over the demanded order,
+             flipped when advantage < -0.1) * |advantage| - entropy_w * H,
+             critic loss = PPO-clipped value loss; separate AdamW steps;
+             schedulers step once per sweep (ppo.py:612-613).
+
+TPU design: rollout and update are each ONE jitted program (actor+critic+
+reward forwards fused by XLA); memories keep the small tensors on host and
+re-feed the (already host-resident) batch during the sweep, so HBM holds
+only params+optimizer state. Batch axis shards over dp; the wide MLPs over
+tp. Gradients sync through pjit (true DP — documented improvement over the
+reference's unsynced replicas, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lr2ppo_tpu.config import Config
+from lr2ppo_tpu.models import ScoreModel, SeqScoreModel
+from lr2ppo_tpu.ops import (
+    categorical_entropy,
+    categorical_kl,
+    clipped_value_loss,
+    rank_hinge_loss,
+)
+from lr2ppo_tpu.train import checkpoints
+from lr2ppo_tpu.train.common import BestSaver, DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
+from lr2ppo_tpu.train.optim import make_schedule
+from lr2ppo_tpu.utils import MetricLogger, init_logger
+
+
+def cls_expected_scores(logits: jnp.ndarray) -> jnp.ndarray:
+    """'cls' mode action scores = expected relevance (ppo.py:855-859)."""
+    p = jax.nn.softmax(logits, axis=-1)
+    return p[..., 1] * 1.0 + p[..., 2] * 2.0
+
+
+def make_rollout_step(actor: ScoreModel, critic: SeqScoreModel,
+                      reward: SeqScoreModel, mode: str):
+    @jax.jit
+    def rollout_step(actor_p, critic_p, reward_p, text, img, state):
+        logits = actor.apply(actor_p, text, img)
+        scores = cls_expected_scores(logits) if mode == "cls" else logits
+        value = critic.apply(critic_p, text, img, state)
+        order = jnp.argsort(-scores, axis=-1)            # descending
+        permuted = jnp.take_along_axis(state, order, axis=1)
+        b = scores.shape[0]
+        prefix = jnp.broadcast_to(jnp.arange(2, dtype=state.dtype)[None],
+                                  (b, 2))
+        next_state = jnp.concatenate([prefix, permuted], axis=1)  # (B, 4)
+        rew = reward.apply(reward_p, text, img, next_state)
+        return scores, value, next_state, rew
+
+    return rollout_step
+
+
+def make_update_step(actor: ScoreModel, critic: SeqScoreModel,
+                     atx, ctx_tx, cfg: Config):
+    mode = cfg.model.mode
+    ppo = cfg.ppo
+
+    @jax.jit
+    def update_step(astate: TrainState, cstate: TrainState, rng,
+                    text, img, state, next_state, old_scores, rewards,
+                    old_value):
+        ra, rc = jax.random.split(rng)
+
+        def actor_loss(params):
+            logits = actor.apply({"params": params}, text, img, False,
+                                 rngs={"dropout": ra})
+            scores = cls_expected_scores(logits) if mode == "cls" else logits
+            kl = categorical_kl(old_scores, scores)            # (B,)
+            entropy = categorical_entropy(scores)              # (B,)
+            rew = rewards - ppo.kl_div_loss_weight * kl        # (B,)
+            adv = rew - old_value                              # one-step
+            tail = next_state[:, -2:]
+            flip = adv < ppo.advantage_eps
+            rank_states = jnp.where(flip[:, None], tail[:, ::-1], tail)
+            rank_loss = rank_hinge_loss(scores, rank_states, ppo.rank_margin)
+            policy = rank_loss * jnp.abs(adv) - ppo.entropy_weight * entropy
+            loss = policy.mean()
+            aux = {
+                "kl": kl.mean(), "entropy": entropy.mean(),
+                "rewards": rew.mean(), "advantages": adv.mean(),
+                "rank_loss": rank_loss, "rewards_adj": rew,
+            }
+            return loss, aux
+
+        (ploss, aux), agrads = jax.value_and_grad(actor_loss, has_aux=True)(
+            astate.params["params"])
+        new_astate = apply_updates(astate, {"params": agrads}, atx)
+
+        rew_detached = jax.lax.stop_gradient(aux.pop("rewards_adj"))
+
+        def critic_loss(params):
+            value = critic.apply({"params": params}, text, img, state, False,
+                                 rngs={"dropout": rc})
+            vloss = clipped_value_loss(value, rew_detached, old_value,
+                                       ppo.value_clip)
+            return vloss, value
+
+        (vloss, value), cgrads = jax.value_and_grad(
+            critic_loss, has_aux=True)(cstate.params["params"])
+        new_cstate = apply_updates(cstate, {"params": cgrads}, ctx_tx)
+
+        metrics = {
+            "policy_loss": ploss, "value_loss": vloss,
+            "old_value": old_value.mean(), "value": value.mean(),
+            "rewards_ori": rewards.mean(), **aux,
+        }
+        return new_astate, new_cstate, metrics
+
+    return update_step
+
+
+class PPOTrainer:
+    def __init__(self, cfg: Config, use_mesh: bool = True):
+        self.cfg = cfg
+        self.logger = init_logger(cfg.log_path)
+        self.metrics = MetricLogger(
+            cfg.log_path + ".jsonl" if cfg.log_path else None)
+        dtype = jnp.dtype(cfg.mesh.compute_dtype)
+        self.actor = ScoreModel(cfg.model, dtype)
+        self.critic = SeqScoreModel(cfg.model, dtype)
+        self.reward = SeqScoreModel(cfg.model, dtype)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+
+    # -- parameter loading (key contract: ppo.py:769-771) ---------------
+    def init_params(self, sample_batch, seed: int):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        b = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        idx4 = jnp.zeros((b["text"].shape[0], 4), jnp.int32)
+        ka, kc, kr = jax.random.split(key, 3)
+        if cfg.pretrained_model_path:
+            actor_p = checkpoints.import_pretrained(cfg.pretrained_model_path)
+        else:
+            actor_p = self.actor.init(ka, b["text"], b.get("img"))
+        if cfg.reward_model_path:
+            # stage-2 ckpt initializes BOTH critic and reward
+            critic_p = checkpoints.import_pretrained(cfg.reward_model_path)
+            reward_p = checkpoints.import_pretrained(cfg.reward_model_path)
+        else:
+            critic_p = self.critic.init(kc, b["text"], b.get("img"), idx4)
+            reward_p = self.reward.init(kr, b["text"], b.get("img"), idx4)
+        return (self.ctx.place_params(actor_p),
+                self.ctx.place_params(critic_p),
+                self.ctx.place_params(reward_p))
+
+    def fit(self, make_train_loader, eval_loader,
+            train_steps: Optional[int] = None):
+        """make_train_loader(epoch) -> Loader (trainset is rebuilt per
+        epoch for fresh pair sampling, ppo.py:816)."""
+        cfg = self.cfg
+        loader0 = make_train_loader(1)
+        steps_per_epoch = len(loader0)
+        total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
+        upd = cfg.ppo.update_timesteps
+
+        # schedulers tick once per sweep (ppo.py:612-613)
+        def sweep_sched(base_lr):
+            s = make_schedule(cfg.optim.scheduler, base_lr, total,
+                              cfg.optim.warmup)
+            return lambda t: s(t // upd)
+
+        import optax
+
+        from lr2ppo_tpu.train.optim import decay_mask, scale_by_adam_hf
+
+        def mk(base_lr):
+            return optax.chain(
+                scale_by_adam_hf(cfg.optim.beta1, cfg.optim.beta2,
+                                 cfg.optim.adam_eps, cfg.optim.correct_bias),
+                optax.add_decayed_weights(cfg.optim.weight_decay,
+                                          mask=decay_mask),
+                optax.scale_by_learning_rate(sweep_sched(base_lr)),
+            )
+        atx, ctx_tx = mk(cfg.optim.learning_rate), mk(
+            cfg.optim.critic_learning_rate)
+
+        first = next(iter(loader0))
+        actor_p, critic_p, reward_p = self.init_params(first, cfg.seed)
+        astate = init_state(actor_p, atx)
+        cstate = init_state(critic_p, ctx_tx)
+
+        rollout_step = make_rollout_step(self.actor, self.critic, self.reward,
+                                         cfg.model.mode)
+        update_step = make_update_step(self.actor, self.critic, atx, ctx_tx,
+                                       cfg)
+        saver = BestSaver(cfg.output_model_path, self.logger)
+        key = jax.random.PRNGKey(cfg.seed + 2)
+        time_ctr, step = 0, 0
+        memories: List[dict] = []
+        self.logger.info(
+            f"Start PPO: {steps_per_epoch} rollout steps/epoch, "
+            f"update every {upd}")
+
+        for epoch in range(1, cfg.epochs_num + 1):
+            loader = make_train_loader(epoch)
+            loader.set_epoch(epoch)
+            for batch in loader:
+                b = self.ctx.put(batch)
+                bsz, tags = batch["tgts"].shape
+                state = jnp.asarray(np.broadcast_to(
+                    np.arange(tags, dtype=np.int32), (bsz, tags)).copy())
+                for _t in range(cfg.ppo.max_timesteps):
+                    scores, value, next_state, rew = rollout_step(
+                        astate.params, cstate.params, reward_p,
+                        b["text"], b.get("img"), state)
+                    memories.append({
+                        "batch": batch,
+                        "state": np.asarray(state),
+                        "next_state": np.asarray(next_state),
+                        "old_scores": np.asarray(scores),
+                        "rewards": np.asarray(rew),
+                        "old_value": np.asarray(value),
+                    })
+                    state = next_state
+                    time_ctr += 1
+                    if time_ctr % upd == 0:
+                        key, sub = jax.random.split(key)
+                        astate, cstate, agg = self._sweep(
+                            update_step, astate, cstate, sub, memories)
+                        memories = []
+                        step += 1
+                        self.logger.info(f"Training step: {step}")
+                        for k, v in agg.items():
+                            self.logger.info(f"{k}: {v:.6f}")
+                        result = evaluate_ndcg(
+                            self.actor, astate.params, eval_loader,
+                            put=self.ctx.put)
+                        self.logger.info("Val NDCG:" + format_ndcg(result))
+                        self.metrics.log(step, ndcg_full=result[100000000],
+                                         **agg)
+                        saver.maybe_save(
+                            result[100000000],
+                            {"actor": astate.params, "critic": cstate.params})
+        self.logger.info(f"Best NDCG: {saver.best}")
+        return astate, cstate, saver.best
+
+    def _sweep(self, update_step, astate, cstate, key, memories):
+        agg: Dict[str, float] = {}
+        for mem in memories:
+            b = self.ctx.put(mem["batch"])
+            key, sub = jax.random.split(key)
+            astate, cstate, metrics = update_step(
+                astate, cstate, sub, b["text"], b.get("img"),
+                jnp.asarray(mem["state"]), jnp.asarray(mem["next_state"]),
+                jnp.asarray(mem["old_scores"]), jnp.asarray(mem["rewards"]),
+                jnp.asarray(mem["old_value"]))
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        n = max(len(memories), 1)
+        return astate, cstate, {k: v / n for k, v in agg.items()}

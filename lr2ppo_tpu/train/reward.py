@@ -1,0 +1,128 @@
+"""Stage 2 — pairwise reward model trainer (both families).
+
+Reference: finetune/reward_pair_dataloader.py (multimodal, hinge margin
+1.0, :355-357) and finetune/reward_trad.py (tabular, margin 0.01, :273).
+One jitted step runs BOTH forwards (chosen + rejected 4-index orderings)
+and the update; eval is pairwise accuracy with the psum'd counters of the
+reference (:395-404) collapsing into an ordinary batched mean.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lr2ppo_tpu.config import Config
+from lr2ppo_tpu.models import SeqScoreModel
+from lr2ppo_tpu.ops import reward_pair_hinge_loss
+from lr2ppo_tpu.train import checkpoints
+from lr2ppo_tpu.train.common import BestSaver, DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.optim import build_optimizer
+from lr2ppo_tpu.utils import MetricLogger, init_logger
+
+
+def make_train_step(model, tx, margin: float):
+    @jax.jit
+    def train_step(state: TrainState, rng, text, img, tgts, chosen, reject):
+        def loss_fn(params):
+            r1, r2 = jax.random.split(rng)
+            cs = model.apply(params, text, img, chosen, False,
+                             rngs={"dropout": r1})
+            rs = model.apply(params, text, img, reject, False,
+                             rngs={"dropout": r2})
+            loss = reward_pair_hinge_loss(cs, rs, margin)
+            acc = (cs > rs).mean()
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: loss_fn({"params": p}), has_aux=True)(
+            state.params["params"])
+        return apply_updates(state, {"params": grads}, tx), loss, acc
+
+    return train_step
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _eval_step(model_apply, params, text, img, tgts, chosen, reject):
+    cs = model_apply(params, text, img, chosen)
+    rs = model_apply(params, text, img, reject)
+    return (cs > rs).astype(jnp.float32)
+
+
+def evaluate_pairwise(model, params, eval_loader, put=None) -> float:
+    correct, total = 0.0, 0
+    for batch in eval_loader:
+        b = put(batch) if put else {k: jnp.asarray(v)
+                                    for k, v in batch.items()}
+        hits = _eval_step(model.apply, params, b["text"], b.get("img"),
+                          b["tgts"], b["chosen_index"], b["reject_index"])
+        hits = np.asarray(hits)
+        correct += float(hits.sum())
+        total += hits.size
+    return correct / max(total, 1)
+
+
+class RewardTrainer:
+    def __init__(self, cfg: Config, margin: Optional[float] = None,
+                 use_mesh: bool = True):
+        self.cfg = cfg
+        self.logger = init_logger(cfg.log_path)
+        self.metrics = MetricLogger(
+            cfg.log_path + ".jsonl" if cfg.log_path else None)
+        dtype = jnp.dtype(cfg.mesh.compute_dtype)
+        self.model = SeqScoreModel(cfg.model, dtype)
+        # reference margins: 1.0 multimodal, 0.01 tabular
+        self.margin = margin if margin is not None else (
+            1.0 if cfg.model.family == "multimodal" else 0.01)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+
+    def init_params(self, sample_batch, seed: int):
+        cfg = self.cfg
+        if cfg.pretrained_model_path:
+            params = checkpoints.import_pretrained(cfg.pretrained_model_path)
+            self.logger.info(f"loaded {cfg.pretrained_model_path}")
+        else:
+            b = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+            params = self.model.init(jax.random.PRNGKey(seed), b["text"],
+                                     b.get("img"), b["chosen_index"])
+        return self.ctx.place_params(params)
+
+    def fit(self, train_loader, eval_loader,
+            train_steps: Optional[int] = None):
+        cfg = self.cfg
+        total = train_steps or int(len(train_loader) * cfg.epochs_num) + 1
+        tx = build_optimizer(cfg.optim, total)
+        first = next(iter(train_loader))
+        state = init_state(self.init_params(first, cfg.seed), tx)
+        train_step = make_train_step(self.model, tx, self.margin)
+        saver = BestSaver(cfg.output_model_path, self.logger)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        step = 0
+        for epoch in range(1, cfg.epochs_num + 1):
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                b = self.ctx.put(batch)
+                key, sub = jax.random.split(key)
+                state, loss, acc = train_step(
+                    state, sub, b["text"], b.get("img"), b["tgts"],
+                    b["chosen_index"], b["reject_index"])
+                step += 1
+                if step % cfg.report_steps == 0:
+                    self.logger.info(
+                        f"epoch {epoch} step {step} "
+                        f"loss {float(loss):.6f} acc {float(acc):.4f}")
+                    val_acc = evaluate_pairwise(self.model, state.params,
+                                                eval_loader, put=self.ctx.put)
+                    self.logger.info(f"val accuracy: {val_acc:.4f}")
+                    self.metrics.log(step, loss=float(loss), acc=val_acc)
+                    saver.maybe_save(val_acc, state.params)
+            val_acc = evaluate_pairwise(self.model, state.params, eval_loader,
+                                        put=self.ctx.put)
+            self.logger.info(f"epoch {epoch} val accuracy: {val_acc:.4f}")
+            saver.maybe_save(val_acc, state.params)
+        self.logger.info(f"Best Acc: {saver.best}")
+        return state, saver.best
