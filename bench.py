@@ -1,0 +1,139 @@
+"""Headline benchmark: stage-3 LR2PPO training throughput (rollout +
+update) of the flagship multimodal model on one TPU chip.
+
+Reference baseline: the 4-GPU run logs ~95-105 s per 200-update cycle at
+bs=24/GPU => ~185-200 samples/s aggregate (BASELINE.md, derived from
+logs/ppo_logs/ppo_pair_dataloader.txt timestamps). We use the midpoint,
+192.5 samples/s. Every sample passes the full pipeline the reference
+times: actor+critic+reward rollout forwards AND the actor/critic PPO
+update with both AdamW steps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# XLA compiles the 500M-param fusion model slowly (~2 min/program); the
+# persistent cache makes reruns start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+BASELINE_SAMPLES_PER_SEC = 192.5
+
+
+def build(bs: int):
+    from lr2ppo_tpu.config import Config, ModelConfig, OptimConfig
+    from lr2ppo_tpu.models import ScoreModel, SeqScoreModel
+    from lr2ppo_tpu.train.common import init_state
+    from lr2ppo_tpu.train.optim import build_optimizer
+    from lr2ppo_tpu.train.ppo import make_rollout_step, make_update_step
+
+    mcfg = ModelConfig(family="multimodal", seq_length=196, max_imgs=16,
+                       mode="reg")
+    # bf16 compute + bf16 Adam moments: the production TPU configuration
+    cfg = Config(model=mcfg,
+                 optim=OptimConfig(moment_dtype="bfloat16"))
+    dtype = jnp.bfloat16
+    actor = ScoreModel(mcfg, dtype)
+    critic = SeqScoreModel(mcfg, dtype)
+    reward = SeqScoreModel(mcfg, dtype)
+
+    tags = 2
+    key = jax.random.PRNGKey(0)
+    kt, ki, ka, kc, kr = jax.random.split(key, 5)
+    text = jax.random.normal(
+        kt, (bs, tags, mcfg.seq_length, mcfg.feat_size), dtype)
+    img = jax.random.normal(ki, (bs, mcfg.max_imgs, mcfg.feat_size), dtype)
+    idx4 = jnp.zeros((bs, 4), jnp.int32)
+    state0 = jnp.broadcast_to(jnp.arange(tags, dtype=jnp.int32), (bs, tags))
+
+    actor_p = jax.jit(actor.init)(ka, text, img)
+    critic_p = jax.jit(critic.init)(kc, text, img, idx4)
+    # frozen inference-only model: keep its params in bf16
+    reward_p = jax.tree.map(
+        lambda x: x.astype(dtype),
+        jax.jit(reward.init)(kr, text, img, idx4))
+
+    tx = build_optimizer(cfg.optim, train_steps=1000)
+    astate = init_state(actor_p, tx)
+    cstate = init_state(critic_p, tx)
+
+    rollout = make_rollout_step(actor, critic, reward, mcfg.mode)
+    update = make_update_step(actor, critic, tx, tx, cfg)
+    return rollout, update, astate, cstate, reward_p, text, img, state0
+
+
+def _sync(astate, cstate):
+    """Force completion by fetching scalars that depend on the full
+    update chain (head bias <- adam <- grads <- backward). NOTE:
+    jax.block_until_ready returns early through the axon TPU tunnel, so
+    a host fetch is the only reliable barrier."""
+    a = astate.params["params"]["head"]["bias"]
+    c = cstate.params["params"]["head"]["bias"]
+    return float(jnp.sum(a)) + float(jnp.sum(c))
+
+
+def run(bs: int, warmup: int = 2, iters: int = 8) -> float:
+    (rollout, update, astate, cstate, reward_p,
+     text, img, state0) = build(bs)
+    rng = jax.random.PRNGKey(1)
+
+    def step(astate, cstate, rng):
+        scores, value, next_state, rew = rollout(
+            astate.params, cstate.params, reward_p, text, img, state0)
+        rng, sub = jax.random.split(rng)
+        astate, cstate, _ = update(
+            astate, cstate, sub, text, img, state0, next_state,
+            scores, rew, value)
+        return astate, cstate, rng
+
+    for _ in range(warmup):
+        astate, cstate, rng = step(astate, cstate, rng)
+    _sync(astate, cstate)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        astate, cstate, rng = step(astate, cstate, rng)
+    _sync(astate, cstate)
+    dt = time.perf_counter() - t0
+    return bs * iters / dt
+
+
+def main() -> None:
+    value = None
+    # bs=256 fits v5e (16GB) with bf16 moments + donated update buffers;
+    # 512 OOMs there, so don't waste ~3 min compiling it first.
+    for bs in (256, 128, 64, 32):
+        try:
+            value = run(bs)
+            break
+        except Exception as e:  # OOM ladder: retry smaller batch
+            msg = str(e)
+            if ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                    or "out of memory" in msg):
+                print(f"bs={bs} OOM; retrying smaller", file=sys.stderr)
+                continue
+            raise
+    if value is None:
+        raise RuntimeError("all batch sizes OOMed")
+    print(json.dumps({
+        "metric": "lr2ppo_train_throughput",
+        "value": round(value, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(value / BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

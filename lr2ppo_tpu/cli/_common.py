@@ -1,0 +1,109 @@
+"""Shared CLI plumbing: dataset/loader builders for both families.
+
+The CLI surface mirrors the reference's 10 launch scripts (repo root
+*.sh -> torchrun -> finetune/*.py argparse); flags carry over verbatim
+where they exist (SURVEY §1 L6). One JAX process replaces torchrun —
+parallelism is the dp/tp mesh inside the jitted steps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from lr2ppo_tpu.config import Config
+from lr2ppo_tpu.data import (
+    EvalLoader,
+    LetorQueries,
+    Loader,
+    LTRPPODataset,
+    LTRPointwiseDataset,
+    LTRRewardDataset,
+    MovieNetDataset,
+)
+
+
+def force_family(cfg: Config, family: str) -> Config:
+    import dataclasses
+
+    return cfg.replace(model=dataclasses.replace(cfg.model, family=family))
+
+
+def h5_path_for(json_path: str, cfg: Config) -> str:
+    """clean_feat.h5 lives next to the split JSONs (ppo.py:65-66)."""
+    root = os.path.dirname(json_path) or cfg.data.embed_root
+    cand = os.path.join(root, "clean_feat.h5")
+    if os.path.exists(cand):
+        return cand
+    return os.path.join(cfg.data.embed_root, "clean_feat.h5")
+
+
+def movienet_train_loader(cfg: Config, mode: str, seed: int = 0) -> Loader:
+    ds = MovieNetDataset(
+        cfg.data.train_path, h5_path_for(cfg.data.train_path, cfg), mode,
+        max_tags=cfg.data.max_tags, max_imgs=cfg.data.max_imgs, seed=seed)
+    return Loader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed + seed,
+                  num_workers=cfg.data.num_workers,
+                  prefetch_depth=cfg.data.prefetch_depth)
+
+
+def movienet_eval_loader(cfg: Config, mode: str = "eval",
+                         path: str = "") -> object:
+    path = path or cfg.data.dev_path
+    ds = MovieNetDataset(path, h5_path_for(path, cfg), mode,
+                         max_tags=cfg.data.max_tags,
+                         max_imgs=cfg.data.max_imgs, seed=cfg.seed)
+    if mode == "eval":
+        return EvalLoader(ds, cfg.data.eval_tag_buckets, cfg.batch_size)
+    return Loader(ds, cfg.batch_size, shuffle=False,
+                  num_workers=cfg.data.num_workers)
+
+
+def letor_queries(path: str) -> LetorQueries:
+    """`path` is either a grouped .h5 file or a directory holding
+    {train,test}.h5 (reference ppo_trad.py:64-68)."""
+    if os.path.isdir(path):
+        return LetorQueries.from_dir(path, "train")
+    return LetorQueries.from_h5(path)
+
+
+def letor_pointwise_loaders(cfg: Config):
+    train = Loader(LTRPointwiseDataset(letor_queries(cfg.data.train_path)),
+                   cfg.batch_size, shuffle=True, seed=cfg.seed,
+                   num_workers=cfg.data.num_workers)
+    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path)
+    docs = max(g.shape[0] for g in evq.groups.values())
+    ev = EvalLoader(LTRPointwiseDataset(evq), buckets=[docs],
+                    batch_size=cfg.batch_size)
+    return train, ev
+
+
+def letor_reward_loaders(cfg: Config, relevance_classes: int = 5):
+    train_ds = LTRRewardDataset(letor_queries(cfg.data.train_path),
+                                max_tags=cfg.data.max_tags,
+                                relevance_classes=relevance_classes,
+                                seed=cfg.seed)
+    ev_ds = LTRRewardDataset(
+        letor_queries(cfg.data.dev_path or cfg.data.test_path),
+        max_tags=max(cfg.data.max_tags // 4, 1),
+        relevance_classes=relevance_classes, seed=cfg.seed + 999)
+    return (Loader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                   num_workers=cfg.data.num_workers),
+            Loader(ev_ds, cfg.batch_size, shuffle=False,
+                   num_workers=cfg.data.num_workers))
+
+
+def letor_ppo_loaders(cfg: Config):
+    q = letor_queries(cfg.data.train_path)
+    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path)
+    docs = max(g.shape[0] for g in evq.groups.values())
+
+    def make_train_loader(epoch: int) -> Loader:
+        ds = LTRPPODataset(q, True, max_tags=cfg.data.max_tags,
+                           seed=cfg.seed + epoch)
+        return Loader(ds, cfg.batch_size, shuffle=True,
+                      seed=cfg.seed + epoch,
+                      num_workers=cfg.data.num_workers)
+
+    ev = EvalLoader(LTRPPODataset(evq, False), buckets=[docs],
+                    batch_size=cfg.batch_size)
+    return make_train_loader, ev

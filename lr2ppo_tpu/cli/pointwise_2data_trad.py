@@ -1,0 +1,43 @@
+"""Feature-unification trainer CLI (reference pointwise_2data_trad.sh ->
+finetune/pointwise_2data_trad.py): joint pointwise training on two raw
+LETOR domains (46-d MQ2008 + 136-d Web10K) with alternating batches.
+
+--train_path/--dev_path = domain A grouped h5, --train_path2/--dev_path2
+= domain B grouped h5. The raw feature dims are inferred from the data
+and become the model's trad_dims (text_proj / text_proj3,
+pointwise_2data_trad.py:136-151)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from lr2ppo_tpu.config import parse_config
+from lr2ppo_tpu.cli._common import force_family, letor_queries
+from lr2ppo_tpu.data import EvalLoader, Loader, LTRPointwiseDataset
+from lr2ppo_tpu.train.pointwise import TwoDataTrainer
+
+
+def main(argv=None) -> float:
+    cfg = parse_config(argv, "lr2ppo-tpu 2-data unification (tabular)")
+    cfg = force_family(cfg, "tabular")
+    qa = letor_queries(cfg.data.train_path)
+    qb = letor_queries(cfg.data.train_path2)
+    dims = [next(iter(qa.groups.values())).shape[1] - 2,
+            next(iter(qb.groups.values())).shape[1] - 2]
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, trad_dims=dims))
+
+    loaders = [Loader(LTRPointwiseDataset(q), cfg.batch_size, shuffle=True,
+                      seed=cfg.seed, num_workers=cfg.data.num_workers)
+               for q in (qa, qb)]
+    evs = []
+    for p in (cfg.data.dev_path, cfg.data.dev_path2):
+        q = letor_queries(p)
+        docs = max(g.shape[0] for g in q.groups.values())
+        evs.append(EvalLoader(LTRPointwiseDataset(q), buckets=[docs],
+                              batch_size=cfg.batch_size))
+    _state, best = TwoDataTrainer(cfg).fit_two(loaders, evs)
+    return best
+
+
+if __name__ == "__main__":
+    main()

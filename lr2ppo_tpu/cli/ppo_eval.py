@@ -1,0 +1,36 @@
+"""PPO evaluator CLI (reference ppo_eval.sh -> finetune/ppo_eval.py):
+loads an ActorCritic checkpoint, ranks full tag lists, logs NDCG, and
+dumps per-clip cases to case/ppo_cases.json (ppo_eval.py:457-459)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lr2ppo_tpu.config import parse_config
+from lr2ppo_tpu.cli._common import h5_path_for, movienet_eval_loader
+from lr2ppo_tpu.data import MovieNetDataset
+from lr2ppo_tpu.models import ScoreModel
+from lr2ppo_tpu.train import checkpoints
+from lr2ppo_tpu.train.evaluate import evaluate_cases, format_ndcg
+from lr2ppo_tpu.utils import init_logger
+
+
+def main(argv=None):
+    cfg = parse_config(argv, "lr2ppo-tpu PPO evaluator (multimodal)")
+    logger = init_logger(cfg.log_path)
+    tree = checkpoints.load_any(cfg.pretrained_model_path,
+                                kind="actor_critic")
+    actor_params = tree["actor"] if "actor" in tree else tree
+    model = ScoreModel(cfg.model, jnp.dtype(cfg.mesh.compute_dtype))
+    path = cfg.data.dev_path or cfg.data.test_path
+    ds = MovieNetDataset(path, h5_path_for(path, cfg), "eval",
+                         max_imgs=cfg.data.max_imgs, seed=cfg.seed)
+    ev = movienet_eval_loader(cfg, path=path)
+    result = evaluate_cases(model, actor_params, ds, ev,
+                            cfg.data.case_path)
+    logger.info("NDCG:" + format_ndcg(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Tabular PPO evaluator CLI (reference ppo_eval_trad.sh ->
+finetune/ppo_eval_trad.py): eval-only ppo_trad with case dump."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lr2ppo_tpu.config import parse_config
+from lr2ppo_tpu.cli._common import force_family, letor_ppo_loaders, letor_queries
+from lr2ppo_tpu.data import LTRPPODataset
+from lr2ppo_tpu.models import ScoreModel
+from lr2ppo_tpu.train import checkpoints
+from lr2ppo_tpu.train.evaluate import evaluate_cases, format_ndcg
+from lr2ppo_tpu.utils import init_logger
+
+
+def main(argv=None):
+    cfg = parse_config(argv, "lr2ppo-tpu PPO evaluator (tabular)")
+    cfg = force_family(cfg, "tabular")
+    logger = init_logger(cfg.log_path)
+    tree = checkpoints.load_any(cfg.pretrained_model_path,
+                                kind="actor_critic")
+    actor_params = tree["actor"] if "actor" in tree else tree
+    model = ScoreModel(cfg.model, jnp.dtype(cfg.mesh.compute_dtype))
+    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path)
+    ds = LTRPPODataset(evq, False)
+    docs = max(g.shape[0] for g in evq.groups.values())
+    from lr2ppo_tpu.data import EvalLoader
+
+    ev = EvalLoader(ds, buckets=[docs], batch_size=cfg.batch_size)
+    result = evaluate_cases(model, actor_params, ds, ev, cfg.data.case_path)
+    logger.info("NDCG:" + format_ndcg(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

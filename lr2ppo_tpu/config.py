@@ -67,6 +67,14 @@ class DataConfig:
     train_path: str = ""
     dev_path: str = ""
     test_path: str = ""
+    # second-domain paths for the 2-data unification trainer
+    # (pointwise_2data_trad.sh passes two train/dev tsv-h5 pairs)
+    train_path2: str = ""
+    dev_path2: str = ""
+    # projection exporter (pointwise_2data_infer_trad.sh)
+    input_features_path: str = ""
+    output_features_path: str = ""
+    case_path: str = "case/ppo_cases.json"  # ppo_eval.py:457-459
     embed_root: str = "LRMovieNet"   # dir holding clean_feat.h5 (ppo.py:65-66)
     max_tags: int = 32               # per-stage sampling width
     max_imgs: int = 16
@@ -89,6 +97,9 @@ class OptimConfig:
     adam_eps: float = 1e-6
     correct_bias: bool = False        # reference AdamW(correct_bias=False)
     grad_clip: Optional[float] = None
+    # store Adam m/v at reduced precision (e.g. 'bfloat16') to halve the
+    # optimizer-state HBM footprint; moment math stays fp32
+    moment_dtype: Optional[str] = None
 
 
 @dataclass
@@ -195,6 +206,8 @@ def load_hyperparam(cfg: Config, config_path: Optional[str] = None) -> Config:
 
 _FLAG_ROUTES = {
     # flat reference flag -> (subconfig, field)
+    "feat_size": ("model", "feat_size"),
+    "num_heads": ("model", "num_heads"),
     "seq_length": ("model", "seq_length"),
     "visual_feat_dim": ("model", "visual_feat_dim"),
     "mode": ("model", "mode"),
@@ -204,6 +217,11 @@ _FLAG_ROUTES = {
     "train_path": ("data", "train_path"),
     "dev_path": ("data", "dev_path"),
     "test_path": ("data", "test_path"),
+    "train_path2": ("data", "train_path2"),
+    "dev_path2": ("data", "dev_path2"),
+    "input_features_path": ("data", "input_features_path"),
+    "output_features_path": ("data", "output_features_path"),
+    "case_path": ("data", "case_path"),
     "embed_root": ("data", "embed_root"),
     "max_tags": ("data", "max_tags"),
     "max_imgs": ("data", "max_imgs"),

@@ -206,6 +206,18 @@ def load_checkpoint(path: str):
     return (jax.tree.map(jnp.asarray, payload["tree"]), payload["metadata"])
 
 
+def load_any(path: str, kind: str = "single"):
+    """Load either a native checkpoint (pickle pytree, save_checkpoint)
+    or a reference torch .bin (import_pretrained). `kind` applies to the
+    torch path ('single' | 'actor_critic'); native ppo checkpoints
+    already carry {'actor','critic'} subtrees."""
+    try:
+        tree, _meta = load_checkpoint(path)
+        return tree
+    except (pickle.UnpicklingError, EOFError, KeyError, UnicodeDecodeError):
+        return import_pretrained(path, kind)
+
+
 def save_torch_compatible(path: str, params: dict) -> None:
     """Export params as a reference-keyed torch .bin for interop."""
     import torch

@@ -25,29 +25,47 @@ class AdamState(NamedTuple):
 
 
 def scale_by_adam_hf(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
-                     correct_bias: bool = False) -> optax.GradientTransformation:
+                     correct_bias: bool = False,
+                     moment_dtype=None) -> optax.GradientTransformation:
     """Adam moment scaling matching the reference step math
     (optimizers.py:375-391): denom = sqrt(v) + eps, optional bias
-    correction folded into the step size."""
+    correction folded into the step size.
+
+    `moment_dtype` (e.g. bfloat16) stores m/v at reduced precision —
+    a TPU HBM optimization (the 500M-param out_layer dominates state);
+    the moment math still runs in fp32.
+    """
 
     def init(params):
-        z = jax.tree.map(jnp.zeros_like, params)
-        return AdamState(jnp.zeros([], jnp.int32), z,
-                         jax.tree.map(jnp.zeros_like, params))
+        def z(p):
+            return jnp.zeros_like(
+                p, dtype=moment_dtype or p.dtype)
+        return AdamState(jnp.zeros([], jnp.int32), jax.tree.map(z, params),
+                         jax.tree.map(z, params))
 
     def update(grads, state, params=None):
         del params
         count = state.count + 1
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        mu = jax.tree.map(
+            lambda m, g: (b1 * m.astype(jnp.float32)
+                          + (1 - b1) * g.astype(jnp.float32)),
+            state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: (b2 * v.astype(jnp.float32)
+                          + (1 - b2) * jnp.square(g.astype(jnp.float32))),
+            state.nu, grads)
         if correct_bias:
             c = count.astype(jnp.float32)
             step_scale = jnp.sqrt(1 - b2 ** c) / (1 - b1 ** c)
         else:
             step_scale = 1.0
         upd = jax.tree.map(
-            lambda m, v: step_scale * m / (jnp.sqrt(v) + eps), mu, nu)
-        return upd, AdamState(count, mu, nu)
+            lambda m, v, g: (step_scale * m / (jnp.sqrt(v) + eps)
+                             ).astype(g.dtype), mu, nu, grads)
+        store = (lambda t: jax.tree.map(
+            lambda x: x.astype(moment_dtype), t)) if moment_dtype else (
+            lambda t: t)
+        return upd, AdamState(count, store(mu), store(nu))
 
     return optax.GradientTransformation(init, update)
 
@@ -118,9 +136,11 @@ def build_optimizer(optim_cfg, train_steps: int,
     if optim_cfg.optimizer == "adafactor":
         return optax.adafactor(learning_rate=sched)
 
+    moment_dtype = getattr(optim_cfg, "moment_dtype", None)
     chain = [
         scale_by_adam_hf(optim_cfg.beta1, optim_cfg.beta2, optim_cfg.adam_eps,
-                         optim_cfg.correct_bias),
+                         optim_cfg.correct_bias,
+                         jnp.dtype(moment_dtype) if moment_dtype else None),
         optax.add_decayed_weights(optim_cfg.weight_decay, mask=decay_mask),
         optax.scale_by_learning_rate(sched),  # negates
     ]

@@ -62,7 +62,7 @@ class PointwiseTrainer:
         cfg = self.cfg
         key = jax.random.PRNGKey(seed)
         if cfg.pretrained_model_path:
-            params = checkpoints.import_pretrained(cfg.pretrained_model_path)
+            params = checkpoints.load_any(cfg.pretrained_model_path)
             self.logger.info(
                 f"loaded pretrained {cfg.pretrained_model_path}")
         else:
@@ -129,7 +129,7 @@ class TwoDataTrainer(PointwiseTrainer):
     def init_params(self, sample_batches, seed: int):
         key = jax.random.PRNGKey(seed)
         if self.cfg.pretrained_model_path:
-            params = checkpoints.import_pretrained(
+            params = checkpoints.load_any(
                 self.cfg.pretrained_model_path)
         else:
             # init once per input dim so both projections exist

@@ -77,7 +77,10 @@ def make_update_step(actor: ScoreModel, critic: SeqScoreModel,
     mode = cfg.model.mode
     ppo = cfg.ppo
 
-    @jax.jit
+    # donate the two train states: XLA aliases the old params/moments into
+    # the new ones, halving update-step peak HBM (critical: the fusion
+    # out_layer alone is 500M params)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def update_step(astate: TrainState, cstate: TrainState, rng,
                     text, img, state, next_state, old_scores, rewards,
                     old_value):
@@ -151,13 +154,13 @@ class PPOTrainer:
         idx4 = jnp.zeros((b["text"].shape[0], 4), jnp.int32)
         ka, kc, kr = jax.random.split(key, 3)
         if cfg.pretrained_model_path:
-            actor_p = checkpoints.import_pretrained(cfg.pretrained_model_path)
+            actor_p = checkpoints.load_any(cfg.pretrained_model_path)
         else:
             actor_p = self.actor.init(ka, b["text"], b.get("img"))
         if cfg.reward_model_path:
             # stage-2 ckpt initializes BOTH critic and reward
-            critic_p = checkpoints.import_pretrained(cfg.reward_model_path)
-            reward_p = checkpoints.import_pretrained(cfg.reward_model_path)
+            critic_p = checkpoints.load_any(cfg.reward_model_path)
+            reward_p = checkpoints.load_any(cfg.reward_model_path)
         else:
             critic_p = self.critic.init(kc, b["text"], b.get("img"), idx4)
             reward_p = self.reward.init(kr, b["text"], b.get("img"), idx4)
@@ -185,10 +188,13 @@ class PPOTrainer:
 
         from lr2ppo_tpu.train.optim import decay_mask, scale_by_adam_hf
 
+        md = cfg.optim.moment_dtype
+
         def mk(base_lr):
             return optax.chain(
                 scale_by_adam_hf(cfg.optim.beta1, cfg.optim.beta2,
-                                 cfg.optim.adam_eps, cfg.optim.correct_bias),
+                                 cfg.optim.adam_eps, cfg.optim.correct_bias,
+                                 jnp.dtype(md) if md else None),
                 optax.add_decayed_weights(cfg.optim.weight_decay,
                                           mask=decay_mask),
                 optax.scale_by_learning_rate(sweep_sched(base_lr)),

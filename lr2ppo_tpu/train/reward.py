@@ -83,7 +83,7 @@ class RewardTrainer:
     def init_params(self, sample_batch, seed: int):
         cfg = self.cfg
         if cfg.pretrained_model_path:
-            params = checkpoints.import_pretrained(cfg.pretrained_model_path)
+            params = checkpoints.load_any(cfg.pretrained_model_path)
             self.logger.info(f"loaded {cfg.pretrained_model_path}")
         else:
             b = {k: jnp.asarray(v) for k, v in sample_batch.items()}
