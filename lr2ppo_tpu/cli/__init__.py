@@ -14,4 +14,6 @@ ENTRY_POINTS = (
     "ppo_trad",
     "ppo_eval_trad",
     "preprocess_data",
+    "preprocess",
+    "pretrain",
 )

@@ -1,0 +1,102 @@
+"""Multimodal feature-precompute CLI (reference preprocess.py:50-86 plus
+the unshipped tower variant that produced the 768-d clean_feat.h5).
+
+Reads a data JSON ({"id", "tags": [{"tag", "target"}...]}) and a keyframe
+root (one directory of images per item id), embeds tag texts with the
+XLM-R tower and frames with the ViT tower, and writes clean_feat.h5 in
+the exact layout the MovieNet datasets consume.
+
+  python -m lr2ppo_tpu.cli.preprocess \
+    --data_json LRMovieNet/train.json --image_root keyframes/ \
+    --text_config models/xlm-roberta/base_config.json \
+    --text_ckpt pretrained_models/roberta.bin \
+    --vit_config models/vit/base-16-224_config.json \
+    --vit_ckpt pretrained_models/vit.bin \
+    --tokenizer_json xlmr_tokenizer.json \
+    --output LRMovieNet/clean_feat.h5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from lr2ppo_tpu.towers import TowerConfig, load_tower_checkpoint
+from lr2ppo_tpu.towers.extract import (
+    ImageFeatureExtractor,
+    TextFeatureExtractor,
+    write_clean_feat,
+)
+
+
+def load_frames(image_dir: str, height: int, width: int) -> np.ndarray:
+    """All images of one item -> (N, 3, H, W) float32 in [0,1]
+    (ZeroOneNormalize, reference utils/misc.py:37-39)."""
+    from PIL import Image
+
+    frames = []
+    for name in sorted(os.listdir(image_dir)):
+        p = os.path.join(image_dir, name)
+        try:
+            img = Image.open(p).convert("RGB").resize((width, height))
+        except Exception:
+            continue
+        arr = np.asarray(img, np.float32) / 255.0
+        frames.append(arr.transpose(2, 0, 1))
+    if not frames:
+        raise FileNotFoundError(f"no readable frames in {image_dir}")
+    return np.stack(frames)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--data_json", required=True)
+    p.add_argument("--image_root", required=True)
+    p.add_argument("--text_config", required=True)
+    p.add_argument("--text_ckpt", required=True)
+    p.add_argument("--vit_config", required=True)
+    p.add_argument("--vit_ckpt", required=True)
+    p.add_argument("--tokenizer_json", default=None)
+    p.add_argument("--spm_model", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--seq_length", type=int, default=196)
+    p.add_argument("--batch", type=int, default=32)
+    args = p.parse_args(argv)
+
+    from lr2ppo_tpu.data.tokenizers import XLMRobertaTokenizer
+
+    tok = XLMRobertaTokenizer(spm_model_path=args.spm_model,
+                              tokenizer_json_path=args.tokenizer_json)
+    text_cfg = TowerConfig.from_json(args.text_config)
+    vit_cfg = TowerConfig.from_json(args.vit_config)
+    text_x = TextFeatureExtractor(text_cfg,
+                                  load_tower_checkpoint(args.text_ckpt),
+                                  tok, args.seq_length)
+    img_x = ImageFeatureExtractor(vit_cfg,
+                                  load_tower_checkpoint(args.vit_ckpt))
+
+    with open(args.data_json) as f:
+        items = json.load(f)
+    import h5py
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".",
+                exist_ok=True)
+    with h5py.File(args.output, "w") as hf:
+        for item in items:
+            iid = item["id"]
+            tags = [t["tag"] for t in item["tags"]]
+            text_emb = text_x(tags, args.batch)
+            frames = load_frames(os.path.join(args.image_root, str(iid)),
+                                 vit_cfg.image_height, vit_cfg.image_width)
+            img_emb = img_x(frames, args.batch)
+            write_clean_feat(args.output, iid, text_emb, img_emb,
+                             h5_file=hf)
+            print(f"{iid}: text {text_emb.shape} img {img_emb.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,379 @@
+"""Tokenizer zoo (reference tencentpretrain/utils/tokenizers.py +
+vocab.py): char, space, bert (wordpiece), bpe (GPT-2 byte-level),
+xlmroberta (sentencepiece), virtual (ViT), text_image, image (vqgan).
+
+Deliberate fix over the reference: special tokens are loaded from an
+explicit map path (default: the reference's
+models/xlmroberta_special_tokens_map.json schema) instead of a
+CWD-relative import side effect (reference constants.py:4 forces every
+entry point to run from the repo root — SURVEY §1 gotcha).
+
+sentencepiece is not in this image; XLMRobertaTokenizer falls back to the
+HF `tokenizers` runtime when a tokenizer.json is available, else raises
+with instructions. The vqgan ImageTokenizer is a documented stub (its
+weights/runtime are not shipped here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import unicodedata
+from functools import lru_cache
+from typing import Dict, List, Optional
+
+DEFAULT_SPECIALS = {
+    "pad_token": "<pad>",
+    "unk_token": "<unk>",
+    "cls_token": "<s>",
+    "sep_token": "</s>",
+    "mask_token": "<mask>",
+}
+
+
+def load_special_tokens(path: Optional[str] = None) -> Dict[str, str]:
+    if path and os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return {**DEFAULT_SPECIALS, **json.load(f)}
+    return dict(DEFAULT_SPECIALS)
+
+
+class Vocab:
+    """token <-> id maps; one token per line (vocab.py:8-38)."""
+
+    def __init__(self):
+        self.w2i: Dict[str, int] = {}
+        self.i2w: List[str] = []
+
+    def load(self, path: str) -> "Vocab":
+        with open(path, encoding="utf-8") as f:
+            for index, line in enumerate(f):
+                w = (line.strip("\r\n").split()[0] if line.strip()
+                     else line.strip("\r\n"))
+                self.w2i[w] = index
+                self.i2w.append(w)
+        return self
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            for w in self.i2w:
+                f.write(w + "\n")
+
+    def add(self, w: str) -> int:
+        if w not in self.w2i:
+            self.w2i[w] = len(self.i2w)
+            self.i2w.append(w)
+        return self.w2i[w]
+
+    @classmethod
+    def build(cls, corpus_path: str, tokenizer, min_count: int = 1,
+              specials: Optional[List[str]] = None) -> "Vocab":
+        """Single-pass vocab building (reference uses a multiprocessing
+        pool, vocab.py:40-111; a dict pass is IO-bound and simpler)."""
+        counts: Dict[str, int] = {}
+        with open(corpus_path, encoding="utf-8") as f:
+            for line in f:
+                for t in tokenizer.tokenize(line, use_vocab=False):
+                    counts[t] = counts.get(t, 0) + 1
+        v = cls()
+        for s in (specials or list(DEFAULT_SPECIALS.values())):
+            v.add(s)
+        for w, c in sorted(counts.items(), key=lambda kv: -kv[1]):
+            if c >= min_count:
+                v.add(w)
+        return v
+
+    def get(self, w: str) -> int:
+        return self.w2i[w]
+
+    def __len__(self) -> int:
+        return len(self.i2w)
+
+
+class BaseTokenizer:
+    def __init__(self, vocab_path: Optional[str] = None,
+                 special_tokens_path: Optional[str] = None):
+        self.specials = load_special_tokens(special_tokens_path)
+        self.unk = self.specials["unk_token"]
+        self.vocab: Dict[str, int] = {}
+        if vocab_path:
+            self.vocab = Vocab().load(vocab_path).w2i
+        self.inv_vocab = {v: k for k, v in self.vocab.items()}
+
+    def tokenize(self, text: str, use_vocab: bool = True) -> List[str]:
+        raise NotImplementedError
+
+    def convert_tokens_to_ids(self, tokens: List[str]) -> List[int]:
+        unk_id = self.vocab.get(self.unk, 0)
+        return [self.vocab.get(t, unk_id) for t in tokens]
+
+    def convert_ids_to_tokens(self, ids: List[int]) -> List[str]:
+        return [self.inv_vocab.get(i, self.unk) for i in ids]
+
+    def encode(self, text: str) -> List[int]:
+        return self.convert_tokens_to_ids(self.tokenize(text))
+
+
+class CharTokenizer(BaseTokenizer):
+    def tokenize(self, text, use_vocab=True):
+        toks = list(text.strip())
+        if use_vocab:
+            return [t if t in self.vocab else self.unk for t in toks]
+        return toks
+
+
+class SpaceTokenizer(BaseTokenizer):
+    def tokenize(self, text, use_vocab=True):
+        toks = text.strip().split(" ")
+        if use_vocab:
+            return [t if t in self.vocab else self.unk for t in toks]
+        return toks
+
+
+class BertTokenizer(BaseTokenizer):
+    """Basic (whitespace + punctuation + CJK) split then greedy wordpiece
+    (reference tokenizers.py:251-270 path)."""
+
+    def __init__(self, vocab_path=None, special_tokens_path=None,
+                 lower: bool = True, max_chars_per_word: int = 100):
+        super().__init__(vocab_path, special_tokens_path)
+        self.lower = lower
+        self.max_chars = max_chars_per_word
+
+    @staticmethod
+    def _is_punct(ch: str) -> bool:
+        cp = ord(ch)
+        if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+                or 123 <= cp <= 126):
+            return True
+        return unicodedata.category(ch).startswith("P")
+
+    @staticmethod
+    def _is_cjk(ch: str) -> bool:
+        cp = ord(ch)
+        return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2A6DF)
+
+    def _basic(self, text: str) -> List[str]:
+        if self.lower:
+            text = text.lower()
+        text = unicodedata.normalize("NFD", text)
+        text = "".join(c for c in text if unicodedata.category(c) != "Mn")
+        out, cur = [], []
+        for ch in text:
+            if ch.isspace():
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+            elif self._is_punct(ch) or self._is_cjk(ch):
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+                out.append(ch)
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def _wordpiece(self, word: str) -> List[str]:
+        if len(word) > self.max_chars:
+            return [self.unk]
+        pieces, start = [], 0
+        while start < len(word):
+            end = len(word)
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [self.unk]
+            pieces.append(piece)
+            start = end
+        return pieces
+
+    def tokenize(self, text, use_vocab=True):
+        out: List[str] = []
+        for word in self._basic(text.strip()):
+            out.extend(self._wordpiece(word) if use_vocab else [word])
+        return out
+
+
+@lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2 reversible byte <-> printable-unicode map."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class BPETokenizer(BaseTokenizer):
+    """GPT-2 byte-level BPE (reference tokenizers.py:272-338), reading the
+    shipped huggingface_gpt2_vocab.txt / _merges.txt assets."""
+
+    def __init__(self, vocab_path=None, merges_path=None,
+                 special_tokens_path=None):
+        super().__init__(vocab_path, special_tokens_path)
+        import regex
+
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.bpe_ranks: Dict[tuple, int] = {}
+        if merges_path:
+            with open(merges_path, encoding="utf-8") as f:
+                merges = f.read().split("\n")[1:-1]
+            self.bpe_ranks = {tuple(m.split()): i
+                              for i, m in enumerate(merges)}
+        self._cache: Dict[str, str] = {}
+        self.pat = regex.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"""
+            r"""| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+    def _bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            bigram = min(pairs,
+                         key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            merged, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = tuple(merged)
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def tokenize(self, text, use_vocab=True):
+        import regex
+
+        out: List[str] = []
+        for token in regex.findall(self.pat, text):
+            mapped = "".join(self.byte_encoder[b]
+                             for b in token.encode("utf-8"))
+            out.extend(self._bpe(mapped).split(" "))
+        return out
+
+    def decode(self, tokens: List[str]) -> str:
+        text = "".join(tokens)
+        return bytearray(self.byte_decoder[c] for c in text).decode(
+            "utf-8", errors="replace")
+
+
+class XLMRobertaTokenizer(BaseTokenizer):
+    """XLM-R sentencepiece tokenizer (reference tokenizers.py:340-420).
+
+    Backends, in order: `sentencepiece` (spm_model_path), HF `tokenizers`
+    (tokenizer_json_path). Neither shipped asset is in this image, so the
+    constructor raises a clear error when no backend/asset is available.
+    """
+
+    def __init__(self, spm_model_path: Optional[str] = None,
+                 tokenizer_json_path: Optional[str] = None,
+                 special_tokens_path: Optional[str] = None):
+        self.specials = load_special_tokens(special_tokens_path)
+        self.unk = self.specials["unk_token"]
+        self.backend = None
+        if spm_model_path:
+            try:
+                import sentencepiece as spm
+
+                self.sp = spm.SentencePieceProcessor()
+                self.sp.Load(spm_model_path)
+                self.backend = "spm"
+                self.vocab = {self.sp.IdToPiece(i): i
+                              for i in range(self.sp.GetPieceSize())}
+            except ImportError:
+                pass
+        if self.backend is None and tokenizer_json_path:
+            from tokenizers import Tokenizer as HFTokenizer
+
+            self.hf = HFTokenizer.from_file(tokenizer_json_path)
+            self.backend = "hf"
+            self.vocab = self.hf.get_vocab()
+        if self.backend is None:
+            raise RuntimeError(
+                "XLMRobertaTokenizer needs either sentencepiece + an .spm "
+                "model or a tokenizer.json for the HF tokenizers backend")
+        self.inv_vocab = {v: k for k, v in self.vocab.items()}
+
+    def tokenize(self, text, use_vocab=True):
+        if self.backend == "spm":
+            return self.sp.EncodeAsPieces(text)
+        return self.hf.encode(text, add_special_tokens=False).tokens
+
+    def convert_tokens_to_ids(self, tokens):
+        if self.backend == "spm":
+            return [self.sp.PieceToId(t) for t in tokens]
+        unk_id = self.vocab.get(self.unk, 0)
+        return [self.vocab.get(t, unk_id) for t in tokens]
+
+
+class VirtualTokenizer(BaseTokenizer):
+    """Empty-vocab tokenizer for vision models (tokenizers.py:590-596)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(None, None)
+
+    def tokenize(self, text, use_vocab=True):
+        return []
+
+
+class ImageTokenizer(BaseTokenizer):
+    """VQGAN image tokenizer (tokenizers.py:583-589). The vqgan weights
+    and runtime are not shipped in this image; this stub keeps the
+    registry complete and raises on use."""
+
+    def __init__(self, *a, image_vocab_size: int = 8192, **kw):
+        super().__init__(None, None)
+        self.vocab = {f"<img_{i}>": i for i in range(image_vocab_size)}
+        self.inv_vocab = {v: k for k, v in self.vocab.items()}
+
+    def tokenize(self, text, use_vocab=True):
+        raise NotImplementedError(
+            "vqgan image tokenization requires the vqgan checkpoint; "
+            "precomputed-feature pipelines (clean_feat.h5) do not use it")
+
+
+class TextImageTokenizer(BertTokenizer):
+    """Text tokenizer + image vocab offset (tokenizers.py:597-604)."""
+
+    def __init__(self, vocab_path=None, special_tokens_path=None,
+                 image_vocab_size: int = 8192, **kw):
+        super().__init__(vocab_path, special_tokens_path, **kw)
+        self.image_vocab_size = image_vocab_size
+
+
+str2tokenizer = {
+    "char": CharTokenizer,
+    "space": SpaceTokenizer,
+    "bert": BertTokenizer,
+    "bpe": BPETokenizer,
+    "xlmroberta": XLMRobertaTokenizer,
+    "virtual": VirtualTokenizer,
+    "image": ImageTokenizer,
+    "text_image": TextImageTokenizer,
+}

@@ -1,0 +1,185 @@
+"""Embedding zoo (reference tencentpretrain/embeddings/): word, pos, seg,
+sinusoidal, patch (ViT), word_patch, dual — composed additively with an
+optional LayerNorm + dropout (embedding.py:19-34).
+
+TPU note: the ViT patchify is a reshape + one big matmul instead of the
+reference's Conv2d (patch_embedding.py:19) — with stride == kernel they
+are the same linear map, and the matmul form tiles directly onto the MXU.
+The conv weight (E, C, P, P) imports as a (C*P*P, E) kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lr2ppo_tpu.towers.layers import RefLayerNorm
+
+Array = jax.Array
+
+
+class WordEmbedding(nn.Module):
+    """Token lookup; x sqrt(emb) under sinusoidal pos (word_embedding.py)."""
+
+    vocab_size: int
+    emb_size: int
+    sinusoidalpos: bool = False
+
+    @nn.compact
+    def __call__(self, src: Array, seg: Array) -> Array:
+        table = self.param("embedding", jax.nn.initializers.normal(1.0),
+                           (self.vocab_size, self.emb_size), jnp.float32)
+        emb = table[src]
+        if self.sinusoidalpos:
+            emb = emb * math.sqrt(self.emb_size)
+        return emb
+
+
+class PosEmbedding(nn.Module):
+    """Learned absolute positions (pos_embedding.py)."""
+
+    max_seq_length: int
+    emb_size: int
+
+    @nn.compact
+    def __call__(self, src: Array, seg: Array) -> Array:
+        table = self.param("embedding", jax.nn.initializers.normal(1.0),
+                           (self.max_seq_length, self.emb_size), jnp.float32)
+        s = seg.shape[1]
+        return jnp.broadcast_to(table[:s][None],
+                                (seg.shape[0], s, self.emb_size))
+
+
+class SegEmbedding(nn.Module):
+    """3-way segment lookup (seg_embedding.py)."""
+
+    emb_size: int
+
+    @nn.compact
+    def __call__(self, src: Array, seg: Array) -> Array:
+        table = self.param("embedding", jax.nn.initializers.normal(1.0),
+                           (3, self.emb_size), jnp.float32)
+        return table[seg]
+
+
+class SinusoidalposEmbedding(nn.Module):
+    """Fixed sin/cos table, interleaved variant, shifted by 2 and masked to
+    the unpadded prefix (sinusoidalpos_embedding.py:26-68)."""
+
+    max_seq_length: int
+    emb_size: int
+
+    def _table(self) -> jnp.ndarray:
+        half = self.emb_size // 2
+        value = math.log(10000.0) / (half - 1)
+        half_exp = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -value)
+        half_mat = (jnp.arange(self.max_seq_length, dtype=jnp.float32)[:, None]
+                    * half_exp[None, :])
+        emb = jnp.zeros((self.max_seq_length, self.emb_size), jnp.float32)
+        emb = emb.at[:, 0::2].set(jnp.sin(half_mat))
+        emb = emb.at[:, 1::2].set(jnp.cos(half_mat))
+        return emb
+
+    @nn.compact
+    def __call__(self, src: Array, seg: Array) -> Array:
+        b, s = seg.shape
+        table = self._table()
+        no_pad = seg.sum(axis=-1)                     # (B,)
+        pos = jnp.arange(s)[None, :]                  # (1, S)
+        emb = table[2: s + 2][None]                   # row i -> table[i+2]
+        return jnp.where((pos < no_pad[:, None])[..., None], emb, 0.0)
+
+
+class PatchEmbedding(nn.Module):
+    """ViT patchify: (B, C, H, W) -> cls ++ patch tokens
+    (patch_embedding.py:5-31). Implemented as reshape + matmul."""
+
+    emb_size: int
+    image_height: int = 224
+    image_width: int = 224
+    patch_size: int = 16
+    channels_num: int = 3
+
+    @nn.compact
+    def __call__(self, src: Array, seg: Array) -> Array:
+        p, c, e = self.patch_size, self.channels_num, self.emb_size
+        b, _, h, w = src.shape
+        assert h == self.image_height and w == self.image_width, (
+            f"input {h}x{w} != model {self.image_height}x{self.image_width}")
+        gh, gw = h // p, w // p
+        # kernel layout matches torch Conv2d(C,E,P,P) flattened to
+        # (C*P*P, E) with (c, ph, pw) ordering, so imports are transposes
+        kernel = self.param("projection", jax.nn.initializers.normal(0.02),
+                            (c * p * p, e), jnp.float32)
+        cls_emb = self.param("cls_emb", jax.nn.initializers.zeros,
+                             (1, 1, e), jnp.float32)
+        x = src.reshape(b, c, gh, p, gw, p)
+        x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(b, gh * gw,
+                                                         c * p * p)
+        tokens = jnp.dot(x, kernel.astype(x.dtype),
+                         preferred_element_type=x.dtype)
+        cls_tok = jnp.broadcast_to(cls_emb.astype(x.dtype), (b, 1, e))
+        return jnp.concatenate([cls_tok, tokens], axis=1)
+
+
+class WordPatchEmbedding(nn.Module):
+    """Text tokens ++ image patches (word_patch_embedding.py): src is a
+    (tokens, pixels) tuple."""
+
+    vocab_size: int
+    emb_size: int
+    image_height: int = 224
+    image_width: int = 224
+    patch_size: int = 16
+    channels_num: int = 3
+
+    @nn.compact
+    def __call__(self, src, seg: Array) -> Array:
+        tokens, pixels = src
+        word = WordEmbedding(self.vocab_size, self.emb_size,
+                             name="word")(tokens, seg)
+        patch = PatchEmbedding(self.emb_size, self.image_height,
+                               self.image_width, self.patch_size,
+                               self.channels_num, name="patch")(pixels, seg)
+        return jnp.concatenate([word, patch], axis=1)
+
+
+_EMB_KINDS = {
+    "word": lambda cfg, name: WordEmbedding(
+        cfg.vocab_size, cfg.emb_size, "sinusoidalpos" in cfg.embedding,
+        name=name),
+    "pos": lambda cfg, name: PosEmbedding(cfg.max_seq_length, cfg.emb_size,
+                                          name=name),
+    "seg": lambda cfg, name: SegEmbedding(cfg.emb_size, name=name),
+    "sinusoidalpos": lambda cfg, name: SinusoidalposEmbedding(
+        cfg.max_seq_length, cfg.emb_size, name=name),
+    "patch": lambda cfg, name: PatchEmbedding(
+        cfg.emb_size, cfg.image_height, cfg.image_width, cfg.patch_size,
+        cfg.channels_num, name=name),
+    "word_patch": lambda cfg, name: WordPatchEmbedding(
+        cfg.vocab_size, cfg.emb_size, cfg.image_height, cfg.image_width,
+        cfg.patch_size, cfg.channels_num, name=name),
+}
+
+
+class CompositeEmbedding(nn.Module):
+    """Additive composition + optional LN + dropout (embedding.py:19-34).
+    Sub-embeddings are named by kind so checkpoint keys line up."""
+
+    cfg: "TowerConfig"  # noqa: F821 — forward ref, defined in model.py
+
+    @nn.compact
+    def __call__(self, src, seg: Array,
+                 deterministic: bool = True) -> Array:
+        cfg = self.cfg
+        emb = None
+        for kind in cfg.embedding:
+            cur = _EMB_KINDS[kind](cfg, kind)(src, seg)
+            emb = cur if emb is None else emb + cur
+        if not cfg.remove_embedding_layernorm:
+            emb = RefLayerNorm(name="layer_norm")(emb)
+        return nn.Dropout(cfg.dropout)(emb, deterministic=deterministic)

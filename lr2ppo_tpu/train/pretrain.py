@@ -1,0 +1,151 @@
+"""Tower pretraining trainer (TPU-native replacement for the reference
+tencentpretrain/trainer.py:95-178, which is dead code in the reference —
+SURVEY §2.3 — but rebuilt live here).
+
+One jitted step = grad-accumulated forward/backward + AdamW update over
+the dp mesh; throughput (tokens/s) and loss/acc logged every
+report_steps; step-numbered and best checkpoints (trainer.py:138-145).
+Gradient accumulation runs as a lax.scan over microbatches inside the
+compiled step, so accumulation costs no host round-trips.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lr2ppo_tpu.config import Config
+from lr2ppo_tpu.towers.model import TowerConfig, TowerModel
+from lr2ppo_tpu.train import checkpoints
+from lr2ppo_tpu.train.common import DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.optim import build_optimizer
+from lr2ppo_tpu.utils import MetricLogger, init_logger
+
+
+def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, rng, src, tgt, seg):
+        """src/tgt/seg: (accum, micro_bs, S)."""
+
+        def loss_fn(params, mb):
+            out = model.apply({"params": params}, mb["src"], mb["tgt"],
+                              mb["seg"], deterministic=False,
+                              rngs={"dropout": mb["rng"]})
+            loss, correct, denom = out
+            return loss, (correct, denom)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        rngs = jax.random.split(rng, accum)
+
+        def micro(carry, xs):
+            gsum, lsum, csum, dsum = carry
+            mb = {"src": xs[0], "tgt": xs[1], "seg": xs[2], "rng": xs[3]}
+            (loss, (correct, denom)), grads = grad_fn(
+                state.params["params"], mb)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (gsum, lsum + loss, csum + correct, dsum + denom), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params["params"])
+        (gsum, lsum, csum, dsum), _ = jax.lax.scan(
+            micro, (zero, 0.0, 0.0, 0.0), (src, tgt, seg, rngs))
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        new_state = apply_updates(state, {"params": grads}, tx)
+        metrics = {"loss": lsum / accum, "acc": csum / jnp.maximum(dsum, 1.0)}
+        return new_state, metrics
+
+    return step
+
+
+class PretrainTrainer:
+    def __init__(self, cfg: Config, tower_cfg: TowerConfig,
+                 accumulation_steps: int = 1, use_mesh: bool = True):
+        self.cfg = cfg
+        self.tower_cfg = tower_cfg
+        self.accum = max(accumulation_steps, 1)
+        self.logger = init_logger(cfg.log_path)
+        self.metrics = MetricLogger(
+            cfg.log_path + ".jsonl" if cfg.log_path else None)
+        dtype = jnp.dtype(cfg.mesh.compute_dtype)
+        self.model = TowerModel(tower_cfg, dtype)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+
+    def init_params(self, sample):
+        if self.cfg.pretrained_model_path:
+            from lr2ppo_tpu.towers import load_tower_checkpoint
+
+            return self.ctx.place_params(
+                load_tower_checkpoint(self.cfg.pretrained_model_path))
+        params = self.model.init(
+            jax.random.PRNGKey(self.cfg.seed), jnp.asarray(sample["src"]),
+            jnp.asarray(sample["tgt"]), jnp.asarray(sample["seg"]))
+        return self.ctx.place_params(params)
+
+    def _fold(self, batch):
+        """(accum*micro, S) host batch -> (accum, micro, S) arrays."""
+        out = {}
+        for k in ("src", "tgt", "seg"):
+            v = batch[k]
+            out[k] = v.reshape(self.accum, v.shape[0] // self.accum,
+                               *v.shape[1:])
+        return out
+
+    def fit(self, train_loader, total_steps: Optional[int] = None,
+            save_checkpoint_steps: int = 0):
+        cfg = self.cfg
+        total = total_steps or len(train_loader) * cfg.epochs_num
+        tx = build_optimizer(cfg.optim, total)
+        first = next(iter(train_loader))
+        micro = {k: v[: v.shape[0] // self.accum]
+                 for k, v in first.items()}
+        state = init_state(self.init_params(micro), tx)
+        step_fn = make_pretrain_step(self.model, tx, self.accum)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+
+        step, best = 0, -np.inf
+        tokens_since, t_last = 0, time.perf_counter()
+        for epoch in range(1, cfg.epochs_num + 1):
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                b = self.ctx.put(batch)
+                folded = self._fold(jax.tree.map(np.asarray, batch))
+                key, sub = jax.random.split(key)
+                state, m = step_fn(state, sub,
+                                   jnp.asarray(folded["src"]),
+                                   jnp.asarray(folded["tgt"]),
+                                   jnp.asarray(folded["seg"]))
+                step += 1
+                tokens_since += int(np.prod(batch["src"].shape))
+                if step % cfg.report_steps == 0:
+                    loss, acc = float(m["loss"]), float(m["acc"])
+                    dt = time.perf_counter() - t_last
+                    tps = tokens_since / max(dt, 1e-9)
+                    self.logger.info(
+                        f"step {step}/{total} loss {loss:.4f} "
+                        f"acc {acc:.4f} | {tps:,.0f} tokens/s")
+                    self.metrics.log(step, loss=loss, acc=acc, tokens_s=tps)
+                    tokens_since, t_last = 0, time.perf_counter()
+                    if acc > best:
+                        best = acc
+                        if cfg.output_model_path:
+                            checkpoints.save_checkpoint(
+                                cfg.output_model_path + "-best",
+                                state.params, {"step": step, "acc": acc})
+                if save_checkpoint_steps and step % save_checkpoint_steps == 0:
+                    checkpoints.save_checkpoint(
+                        f"{cfg.output_model_path}-{step}",
+                        {"params": state.params,
+                         "opt_state": state.opt_state, "step": step},
+                        {"step": step})
+                if step >= total:
+                    break
+            if step >= total:
+                break
+        if cfg.output_model_path:
+            checkpoints.save_checkpoint(cfg.output_model_path, state.params,
+                                        {"step": step})
+        return state, best

@@ -1,0 +1,97 @@
+"""Tokenizer parity: BPE checked token-for-token against the reference
+implementation on the shipped GPT-2 vocab/merges assets; wordpiece/char/
+space/vocab behaviors unit-tested."""
+
+import os
+import sys
+from argparse import Namespace
+
+import pytest
+
+from lr2ppo_tpu.data.tokenizers import (
+    BertTokenizer,
+    BPETokenizer,
+    CharTokenizer,
+    SpaceTokenizer,
+    Vocab,
+    VirtualTokenizer,
+    str2tokenizer,
+)
+
+REF = "/root/reference"
+VOCAB = f"{REF}/models/huggingface_gpt2_vocab.txt"
+MERGES = f"{REF}/models/huggingface_gpt2_merges.txt"
+
+
+@pytest.fixture(scope="module")
+def ref_bpe():
+    cwd = os.getcwd()
+    sys.path.insert(0, REF)
+    os.chdir(REF)
+    try:
+        from tencentpretrain.utils.tokenizers import BPETokenizer as RefBPE
+
+        args = Namespace(spm_model_path=None, vocab_path=VOCAB,
+                         merges_path=MERGES)
+        yield RefBPE(args)
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(REF)
+
+
+SAMPLES = [
+    "Hello world!",
+    "  leading spaces and\ttabs",
+    "the quick brown fox's 42 jumps, over #tags & emojis ✨",
+    "CamelCase and UPPER and l'apostrophe don't",
+    "",
+]
+
+
+def test_bpe_parity_with_reference(ref_bpe):
+    mine = BPETokenizer(VOCAB, MERGES)
+    for s in SAMPLES:
+        assert mine.tokenize(s) == ref_bpe.tokenize(s), s
+        assert (mine.convert_tokens_to_ids(mine.tokenize(s))
+                == ref_bpe.convert_tokens_to_ids(ref_bpe.tokenize(s))), s
+
+
+def test_bpe_roundtrip():
+    mine = BPETokenizer(VOCAB, MERGES)
+    s = "round trip of bytes éè中文"
+    assert mine.decode(mine.tokenize(s)) == s
+
+
+def test_char_space_tokenizers(tmp_path):
+    vp = tmp_path / "v.txt"
+    vp.write_text("<unk>\na\nb\nhello\n")
+    c = CharTokenizer(str(vp))
+    assert c.tokenize("ab!") == ["a", "b", "<unk>"]
+    s = SpaceTokenizer(str(vp))
+    assert s.tokenize("hello there") == ["hello", "<unk>"]
+    assert s.convert_tokens_to_ids(["hello", "<unk>"]) == [3, 0]
+
+
+def test_wordpiece():
+    t = BertTokenizer()
+    t.vocab = {"un": 0, "##aff": 1, "##able": 2, "hello": 3, "<unk>": 4,
+               ",": 5}
+    t.inv_vocab = {v: k for k, v in t.vocab.items()}
+    assert t.tokenize("unaffable hello,") == ["un", "##aff", "##able",
+                                              "hello", ","]
+    assert t.tokenize("xyzzy") == ["<unk>"]
+
+
+def test_vocab_build(tmp_path):
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b b c c c\n")
+    v = Vocab.build(str(corpus), SpaceTokenizer(), min_count=2)
+    assert v.get("c") < v.get("b")  # sorted by count desc
+    assert "a" not in v.w2i
+
+
+def test_registry_complete():
+    for kind in ("char", "space", "bert", "bpe", "xlmroberta", "virtual",
+                 "image", "text_image"):
+        assert kind in str2tokenizer
+    assert VirtualTokenizer().tokenize("anything") == []
