@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# NOTE: jax_default_prng_impl='rbg' was tried for the dropout-mask RNG
+# (threefry costs ~25% of the update step) but the rbg programs OOM at
+# every batch size on the 16GB chip — threefry it stays.
+
 # XLA compiles the 500M-param fusion model slowly (~2 min/program); the
 # persistent cache makes reruns start in seconds.
 jax.config.update("jax_compilation_cache_dir",

@@ -147,6 +147,11 @@ class Config:
     pretrained_model_path: Optional[str] = None
     reward_model_path: Optional[str] = None
     config_path: Optional[str] = None
+    # aux subsystems (SURVEY §5): jax.profiler trace window, full-state
+    # periodic checkpointing + resume (reference has save-best only)
+    profile_dir: Optional[str] = None
+    save_state_steps: int = 0
+    resume_path: Optional[str] = None
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -244,7 +249,8 @@ _FLAG_ROUTES = {
 _TOP_FLAGS = [
     "exp_name", "epochs_num", "batch_size", "report_steps", "seed",
     "output_model_path", "log_path", "pretrained_model_path",
-    "reward_model_path", "config_path",
+    "reward_model_path", "config_path", "profile_dir",
+    "save_state_steps", "resume_path",
 ]
 
 

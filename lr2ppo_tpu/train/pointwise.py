@@ -27,7 +27,12 @@ from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.common import BestSaver, DeviceCtx, TrainState, apply_updates, init_state
 from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
 from lr2ppo_tpu.train.optim import build_optimizer
-from lr2ppo_tpu.utils import MetricLogger, init_logger
+from lr2ppo_tpu.utils import (
+    MetricLogger,
+    TraceWindow,
+    check_finite,
+    init_logger,
+)
 
 
 def make_train_step(model, tx, mode: str):
@@ -78,13 +83,22 @@ class PointwiseTrainer:
         tx = build_optimizer(cfg.optim, total)
 
         first = next(iter(train_loader))
-        params = self.init_params(first, cfg.seed)
-        state = init_state(params, tx)
+        step = 0
+        if cfg.resume_path:
+            (tree, meta) = checkpoints.load_checkpoint(cfg.resume_path)
+            state = TrainState(self.ctx.place_params(tree["params"]),
+                               tree["opt_state"],
+                               jnp.asarray(tree["step"]))
+            step = int(meta.get("step", tree["step"]))
+            self.logger.info(f"resumed from {cfg.resume_path} @ step {step}")
+        else:
+            params = self.init_params(first, cfg.seed)
+            state = init_state(params, tx)
         train_step = make_train_step(self.model, tx, cfg.model.mode)
 
         saver = BestSaver(cfg.output_model_path, self.logger)
+        trace = TraceWindow(cfg.profile_dir)
         key = jax.random.PRNGKey(cfg.seed + 1)
-        step = 0
         result = {}
         self.logger.info(
             f"Start training: {steps_per_epoch} steps/epoch, "
@@ -97,8 +111,17 @@ class PointwiseTrainer:
                 state, loss = train_step(state, sub, b["text"],
                                          b.get("img"), b["tgts"])
                 step += 1
+                trace.tick(step)
+                if cfg.save_state_steps and step % cfg.save_state_steps == 0:
+                    checkpoints.save_checkpoint(
+                        cfg.output_model_path + ".state",
+                        {"params": state.params,
+                         "opt_state": state.opt_state, "step": step},
+                        {"step": step})
                 if step % cfg.report_steps == 0:
-                    loss_v = float(loss)
+                    loss_v = check_finite(
+                        float(loss), step,
+                        checkpoint_hint=cfg.output_model_path)
                     self.logger.info(
                         f"epoch {epoch} step {step} loss {loss_v:.6f}")
                     result = evaluate_ndcg(self.model, state.params,
@@ -112,6 +135,7 @@ class PointwiseTrainer:
                                        put=self.ctx.put)
                 self.logger.info(f"epoch {epoch} NDCG:" + format_ndcg(result))
                 saver.maybe_save(result[100000000], state.params)
+        trace.close()
         self.logger.info(f"Best NDCG: {saver.best}")
         return state, saver.best
 

@@ -247,6 +247,12 @@ class PPOTrainer:
                             update_step, astate, cstate, sub, memories)
                         memories = []
                         step += 1
+                        from lr2ppo_tpu.utils import check_finite
+
+                        check_finite(agg["policy_loss"], step, "policy_loss",
+                                     cfg.output_model_path)
+                        check_finite(agg["value_loss"], step, "value_loss",
+                                     cfg.output_model_path)
                         self.logger.info(f"Training step: {step}")
                         for k, v in agg.items():
                             self.logger.info(f"{k}: {v:.6f}")
