@@ -49,6 +49,10 @@ class ModelConfig:
     # Set False for the fast path: standard scaled-dot-product attention with
     # a real causal mask.
     faithful_attention: bool = True
+    # route dropout through the Pallas TPU hardware-PRNG kernel
+    # (ops/pallas_dropout.py) — statistically identical, avoids threefry
+    # mask generation (~25% of the PPO update step) and the HBM mask temps
+    pallas_dropout: bool = False
     # torch-style kaiming-uniform init (matches reference stage-1 dynamics,
     # see pointwise.py:239-271 where the roberta ckpt matches no keys and the
     # torch default init survives) vs 'normal_0.02' (ppo.py:362-365 path).

@@ -72,11 +72,14 @@ class MovieNetDataset:
         # Per-example plan: (item_id, tag_index, chosen_index, reject_index)
         self.examples: List[tuple] = []
         self.targets_of: Dict[str, List[int]] = {}
+        self.tag_names: Dict[str, List[str]] = {}
         for item in data:
             iid = item["id"]
             tags = item["tags"]
             t = len(tags)
             self.targets_of[iid] = [int(x["target"]) for x in tags]
+            self.tag_names[iid] = [str(x.get("tag", j))
+                                   for j, x in enumerate(tags)]
             if mode == "pointwise":
                 self.examples.append((iid, self._pointwise_plan(tags, max_tags),
                                       None, None))

@@ -128,7 +128,12 @@ class EvalLoader:
                 while len(items) < self.bs:   # static batch: repeat last,
                     items.append({**items[-1],  # fully masked out
                                   "mask": np.zeros(bucket, dtype=bool)})
-                yield _collate(items)
+                batch = _collate(items)
+                # dataset indices per row (-1 = padding row); bucketing
+                # reorders items, so consumers must not assume file order
+                batch["_idx"] = np.asarray(
+                    chunk + [-1] * (self.bs - len(chunk)), np.int64)
+                yield batch
 
     @staticmethod
     def _pad(item: Dict[str, np.ndarray], bucket: int) -> Dict[str, np.ndarray]:

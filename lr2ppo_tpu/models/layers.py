@@ -156,6 +156,13 @@ class XiT(nn.Module):
     Reference structure (xit.py:9-42): XEncoderBlock =
       ResidualAddFusion(LN_x/LN_y -> MHA -> Dropout) then
       ResidualAdd(LN -> FFN -> Dropout), followed by XFeatureLayer (LN).
+
+    `pallas_dropout` routes the dropout sites through the Pallas TPU
+    kernel (ops/pallas_dropout.py): hardware PRNG instead of threefry —
+    measured ~25% of the PPO update step was threefry mask generation for
+    the (B,T,196,3072) FFN masks — and masks are regenerated in the
+    backward instead of stored (the 1.15GB/site HBM temps disappear).
+    Statistically identical dropout, different random stream.
     """
 
     feat_size: int = 768
@@ -166,7 +173,19 @@ class XiT(nn.Module):
     forward_drop_p: float = 0.1
     forward_expansion: int = 4
     init_style: str = "torch_default"
+    pallas_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
+
+    def _drop(self, x: Array, rate: float, deterministic: bool) -> Array:
+        if deterministic or rate == 0.0:
+            return x
+        if self.pallas_dropout:
+            from lr2ppo_tpu.ops.pallas_dropout import (
+                seed_from_key, tpu_dropout)
+
+            return tpu_dropout(x, seed_from_key(self.make_rng("dropout")),
+                               rate)
+        return nn.Dropout(rate)(x, deterministic=False)
 
     @nn.compact
     def __call__(self, x: Array, y: Array,
@@ -178,7 +197,7 @@ class XiT(nn.Module):
             causal=self.causal, faithful=self.faithful,
             init_style=self.init_style, dtype=self.dtype, name="attn",
         )(xn, yn, deterministic=deterministic)
-        att = nn.Dropout(self.drop_p)(att, deterministic=deterministic)
+        att = self._drop(att, self.drop_p, deterministic)
         x = x + att
 
         hn = nn.LayerNorm(epsilon=1e-5, name="ln_ffn")(x)
@@ -186,10 +205,10 @@ class XiT(nn.Module):
         hcur = TorchDense(hdn, self.init_style, dtype=self.dtype,
                           name="ffn_fc1")(hn)
         hcur = nn.gelu(hcur, approximate=False)
-        hcur = nn.Dropout(self.forward_drop_p)(hcur, deterministic=deterministic)
+        hcur = self._drop(hcur, self.forward_drop_p, deterministic)
         hcur = TorchDense(self.feat_size, self.init_style, dtype=self.dtype,
                           name="ffn_fc2")(hcur)
-        hcur = nn.Dropout(self.drop_p)(hcur, deterministic=deterministic)
+        hcur = self._drop(hcur, self.drop_p, deterministic)
         x = x + hcur
 
         return nn.LayerNorm(epsilon=1e-5, name="ln_out")(x)

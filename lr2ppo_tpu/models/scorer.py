@@ -63,7 +63,8 @@ class FusionTrunk(nn.Module):
             x = XiT(feat_size=d, num_heads=cfg.num_heads,
                     faithful=cfg.faithful_attention, drop_p=cfg.drop_p,
                     forward_drop_p=cfg.forward_drop_p,
-                    init_style=cfg.init_style, dtype=self.dtype,
+                    init_style=cfg.init_style,
+                    pallas_dropout=cfg.pallas_dropout, dtype=self.dtype,
                     name="xit")(tfeat, ifeat, deterministic)
             ib = jnp.broadcast_to(ifeat, (b, t) + ifeat.shape[2:])
             x = jnp.concatenate([x, ib], axis=2)        # (B, T, S+I, D)
@@ -74,7 +75,8 @@ class FusionTrunk(nn.Module):
             x = XiT(feat_size=d, num_heads=cfg.num_heads,
                     faithful=cfg.faithful_attention, drop_p=cfg.drop_p,
                     forward_drop_p=cfg.forward_drop_p,
-                    init_style=cfg.init_style, dtype=self.dtype,
+                    init_style=cfg.init_style,
+                    pallas_dropout=cfg.pallas_dropout, dtype=self.dtype,
                     name="xit")(tokens, tokens, deterministic)
             x = jnp.concatenate([x, tokens], axis=2)    # (B, T, 2, D)
 
@@ -123,14 +125,17 @@ class SeqScoreModel(nn.Module):
     def __call__(self, text_emb: Array, img_emb: Optional[Array],
                  index: Array, deterministic: bool = True) -> Array:
         cfg = self.cfg
-        # gather tag axis by index: (B, K) rows of text/(tiled) img/tgts
-        idx = index[..., None, None] if text_emb.ndim == 4 else index[..., None]
-        text_sel = jnp.take_along_axis(
-            text_emb, idx.astype(jnp.int32), axis=1)
-        # reference tiles img per tag then gathers; gathering rows of an
-        # identical-tile tensor is the identity, so img passes through
+        # TPU optimization: the trunk is per-tag independent, so run it on
+        # the T distinct tags and gather the (B, T, D) FEATURES by index,
+        # instead of the reference's gather-then-trunk (ppo.py:265-271)
+        # which recomputes duplicated tags (the 4-index sequences draw
+        # from 2 distinct tags — half the trunk FLOPs are repeats). Same
+        # math: in eval (rollout/reward) there is no dropout, and in
+        # training the duplicated positions share dropout masks.
         x = FusionTrunk(cfg, self.dtype, name="trunk")(
-            text_sel, img_emb, deterministic)          # (B, K, D)
+            text_emb, img_emb, deterministic)          # (B, T, D)
+        x = jnp.take_along_axis(
+            x, index[..., None].astype(jnp.int32), axis=1)  # (B, K, D)
         b, k = x.shape[:2]
         pos_table = self.param(
             "pos_emb", jax.nn.initializers.normal(1.0), (cfg.num_pos, cfg.feat_size),
@@ -139,7 +144,8 @@ class SeqScoreModel(nn.Module):
         x = XiT(feat_size=cfg.feat_size, num_heads=cfg.num_heads,
                 causal=True, faithful=cfg.faithful_attention,
                 drop_p=cfg.drop_p, forward_drop_p=cfg.forward_drop_p,
-                init_style=cfg.init_style, dtype=self.dtype,
+                init_style=cfg.init_style,
+                pallas_dropout=cfg.pallas_dropout, dtype=self.dtype,
                 name="xitt")(x, x, deterministic)
         logits = TorchDense(1, cfg.init_style, dtype=self.dtype,
                             name="head")(x)            # (B, K, 1)

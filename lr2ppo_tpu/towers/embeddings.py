@@ -148,6 +148,68 @@ class WordPatchEmbedding(nn.Module):
         return jnp.concatenate([word, patch], axis=1)
 
 
+class MaskedPatchEmbedding(nn.Module):
+    """BEiT masked patchify (masked_patch_embedding.py:7-38): cls ++
+    patches, masked positions overwritten with a learned mask token.
+    `src` is (pixels, mask) with mask (B, M) int patch indices into the
+    cls-prefixed sequence; fixed M keeps shapes static under jit."""
+
+    emb_size: int
+    image_height: int = 224
+    image_width: int = 224
+    patch_size: int = 16
+    channels_num: int = 3
+
+    @nn.compact
+    def __call__(self, src, seg: Array) -> Array:
+        pixels, mask = src
+        emb = PatchEmbedding(self.emb_size, self.image_height,
+                             self.image_width, self.patch_size,
+                             self.channels_num, name="patch")(pixels, seg)
+        mask_emb = self.param("mask_emb", jax.nn.initializers.zeros,
+                              (1, self.emb_size), jnp.float32)
+        b, s, e = emb.shape
+        onehot = jax.nn.one_hot(mask, s, dtype=emb.dtype)   # (B, M, S)
+        hit = onehot.sum(1)[..., None]                      # (B, S, 1)
+        return emb * (1 - hit) + hit * mask_emb.astype(emb.dtype)
+
+
+class SpeechEmbedding(nn.Module):
+    """Conv1d temporal subsampler (speech_embedding.py:6-27 head): a
+    stack of stride-2 width-k 1-D convolutions with GLU gating, expressed
+    as unfold + matmul. Optional sqrt(emb) scaling under sinusoidal."""
+
+    emb_size: int
+    conv_layers: int = 2
+    kernel_size: int = 5
+    in_dim: int = 80          # filterbank features
+    sinusoidalpos: bool = False
+
+    @nn.compact
+    def __call__(self, src: Array, seg: Array) -> Array:
+        x = src  # (B, frames, in_dim)
+        dim = self.in_dim
+        for i in range(self.conv_layers):
+            k, stride, out = self.kernel_size, 2, 2 * self.emb_size
+            b, s, _ = x.shape
+            pad = (k - 1) // 2
+            xp = jnp.pad(x, ((0, 0), (pad, k - 1 - pad), (0, 0)))
+            starts = range(0, s, stride)
+            windows = jnp.stack([xp[:, st: st + k] for st in starts],
+                                axis=1)
+            w = self.param(f"conv_{i}", jax.nn.initializers.normal(0.02),
+                           (k * dim, out), jnp.float32)
+            bconv = self.param(f"conv_{i}_bias", jax.nn.initializers.zeros,
+                               (out,), jnp.float32)
+            y = windows.reshape(b, len(starts), k * dim) @ w + bconv
+            a, g = jnp.split(y, 2, axis=-1)
+            x = a * jax.nn.sigmoid(g)                     # GLU
+            dim = self.emb_size
+        if self.sinusoidalpos:
+            x = x * math.sqrt(self.emb_size)
+        return x
+
+
 _EMB_KINDS = {
     "word": lambda cfg, name: WordEmbedding(
         cfg.vocab_size, cfg.emb_size, "sinusoidalpos" in cfg.embedding,
@@ -163,6 +225,12 @@ _EMB_KINDS = {
     "word_patch": lambda cfg, name: WordPatchEmbedding(
         cfg.vocab_size, cfg.emb_size, cfg.image_height, cfg.image_width,
         cfg.patch_size, cfg.channels_num, name=name),
+    "masked_patch": lambda cfg, name: MaskedPatchEmbedding(
+        cfg.emb_size, cfg.image_height, cfg.image_width, cfg.patch_size,
+        cfg.channels_num, name=name),
+    "speech": lambda cfg, name: SpeechEmbedding(
+        cfg.emb_size, sinusoidalpos="sinusoidalpos" in cfg.embedding,
+        name=name),
 }
 
 

@@ -63,10 +63,9 @@ def evaluate_cases(model, params, dataset, eval_loader, out_path: str,
     scores, per-k ndcg."""
     meter = AverageNDCGMeter()
     cases = []
-    item_ptr = 0
-    # EvalLoader iterates bucket-grouped; reconstruct item ids via mask rows
-    ids_in_order = []
     for batch in eval_loader:
+        idx = np.asarray(batch.pop("_idx", np.full(
+            np.asarray(batch["mask"]).shape[0], -1, np.int64)))
         if put is not None:
             dbatch = put(batch)
         else:
@@ -79,22 +78,31 @@ def evaluate_cases(model, params, dataset, eval_loader, out_path: str,
         scores, rows = np.asarray(scores), np.asarray(rows)
         mask = np.asarray(batch["mask"])
         for b in range(mask.shape[0]):
-            if not mask[b].any():
+            if not mask[b].any() or idx[b] < 0:
                 continue
             t = int(mask[b].sum())
             s = scores[b, :t]
             gold = np.asarray(batch["tgts"][b, :t])
             order = np.argsort(-s)
             meter.extend(rows[b: b + 1])
-            cases.append({
+            case = {
                 "pred_order": order.tolist(),
                 "pred_scores": s[order].astype(float).tolist(),
                 "gold": gold.astype(int).tolist(),
                 "gold_rearranged": gold[order].astype(int).tolist(),
                 "ndcg": rows[b].astype(float).tolist(),
-            })
-            ids_in_order.append(item_ptr)
-            item_ptr += 1
+            }
+            # per-clip identity + tag strings (ppo_eval.py dumps tags)
+            if dataset is not None and hasattr(dataset, "examples"):
+                iid = dataset.examples[int(idx[b])][0]
+                case["id"] = str(iid)
+                names = getattr(dataset, "tag_names", {}).get(iid)
+                if names:
+                    case["tags"] = [names[j] for j in
+                                    dataset.examples[int(idx[b])][1]]
+                    case["tags_rearranged"] = [case["tags"][j]
+                                               for j in order.tolist()]
+            cases.append(case)
     if out_path:
         os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".",
                     exist_ok=True)

@@ -123,6 +123,36 @@ def make_schedule(name: str, base_lr: float, train_steps: int,
             prog = jnp.clip((t - w) / jnp.maximum(1.0, train_steps - w), 0, 1)
             return base_lr * jnp.where(t < w, warm, (1.0 - prog))
         return sched
+    if name == "cosine_with_restarts":
+        # hard restarts, num_cycles=1 default (optimizers.py:182-214)
+        num_cycles = 1.0
+
+        def sched(t):
+            t = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+            warm = t / w
+            prog = (t - w) / jnp.maximum(1.0, train_steps - w)
+            cyc = 0.5 * (1.0 + jnp.cos(jnp.pi * ((num_cycles * prog) % 1.0)))
+            decay = jnp.where(prog >= 1.0, 0.0, jnp.maximum(0.0, cyc))
+            return base_lr * jnp.where(t < w, warm, decay)
+        return sched
+    if name == "tri_stage":
+        # warmup -> hold -> exponential decay to final_lr_scale
+        # (optimizers.py:89-148, SpecAugment paper schedule)
+        init_scale, final_scale = 0.01, 0.05
+        decay_steps = max(train_steps // 4, 1)
+
+        def sched(t):
+            t = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+            warm = init_scale + (1.0 - init_scale) * t / w
+            decay_factor = -jnp.log(final_scale) / decay_steps
+            hold_end = train_steps - decay_steps
+            decay = jnp.exp(-decay_factor * (t - hold_end))
+            factor = jnp.where(
+                t < w, warm,
+                jnp.where(t < hold_end, 1.0,
+                          jnp.where(t <= train_steps, decay, final_scale)))
+            return base_lr * factor
+        return sched
     raise ValueError(f"unknown scheduler: {name}")
 
 
