@@ -36,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 BASELINE_SAMPLES_PER_SEC = 192.5
 
 
-def build(bs: int):
+def build(bs: int, remat: bool = None, pallas_dropout: bool = None):
     from lr2ppo_tpu.config import Config, ModelConfig, OptimConfig
     from lr2ppo_tpu.models import ScoreModel, SeqScoreModel
     from lr2ppo_tpu.train.common import init_state
@@ -49,8 +49,13 @@ def build(bs: int):
     # bs=128 vs 758 at bs=256 with threefry. Threefry + big batch wins on
     # a single 16GB chip; the kernel stays available for memory-rich
     # configs.
+    if remat is None:
+        remat = os.environ.get("LR2PPO_BENCH_REMAT", "0") == "1"
+    if pallas_dropout is None:
+        pallas_dropout = os.environ.get("LR2PPO_BENCH_PALLAS", "0") == "1"
     mcfg = ModelConfig(family="multimodal", seq_length=196, max_imgs=16,
-                       mode="reg", pallas_dropout=False)
+                       mode="reg", pallas_dropout=pallas_dropout,
+                       remat=remat)
     # bf16 compute + bf16 Adam moments: the production TPU configuration
     cfg = Config(model=mcfg,
                  optim=OptimConfig(moment_dtype="bfloat16"))
@@ -128,7 +133,9 @@ def main() -> None:
     import subprocess
 
     value = None
-    for bs in (256, 128, 64, 32):
+    sizes = tuple(int(s) for s in os.environ.get(
+        "LR2PPO_BENCH_SIZES", "256,128,64,32").split(","))
+    for bs in sizes:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--bs", str(bs)],
             capture_output=True, text=True)

@@ -53,6 +53,9 @@ class ModelConfig:
     # (ops/pallas_dropout.py) — statistically identical, avoids threefry
     # mask generation (~25% of the PPO update step) and the HBM mask temps
     pallas_dropout: bool = False
+    # jax.checkpoint the fusion trunk: recompute activations in the
+    # backward instead of storing them (unlocks larger batch per chip)
+    remat: bool = False
     # torch-style kaiming-uniform init (matches reference stage-1 dynamics,
     # see pointwise.py:239-271 where the roberta ckpt matches no keys and the
     # torch default init survives) vs 'normal_0.02' (ppo.py:362-365 path).

@@ -84,3 +84,118 @@ class MlmCorpusDataset:
                                self.mask_id, rng, self.mlm_prob,
                                special_limit=self.special_limit)
         return {"src": src, "tgt": tgt, "seg": self.seg[i]}
+
+
+class LmCorpusDataset(MlmCorpusDataset):
+    """Causal-LM processor (reference utils/dataset.py lm variant):
+    src = tokens[:-1], tgt = tokens[1:] (pad positions -> tgt 0)."""
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        ids, seg = self.ids[i], self.seg[i]
+        src = ids[:-1]
+        tgt = np.where(seg[1:] > 0, ids[1:], 0).astype(ids.dtype)
+        return {"src": src, "tgt": tgt, "seg": seg[:-1]}
+
+    def set_epoch(self, epoch: int) -> None:  # no per-epoch randomness
+        self.epoch = epoch
+
+
+class ClsTsvDataset:
+    """Classification processor (utils/dataset.py cls variant): tsv rows
+    'label<TAB>text' -> (src, scalar tgt, seg)."""
+
+    def __init__(self, tsv_path: str, tokenizer, seq_length: int,
+                 cls_id: int = 0, sep_id: int = 2, pad_id: int = 1):
+        self.rows = []
+        with open(tsv_path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t", 1)
+                if len(parts) != 2:
+                    continue
+                label, text = parts
+                ids = [cls_id] + tokenizer.encode(text)[: seq_length - 2] \
+                    + [sep_id]
+                src = np.full(seq_length, pad_id, np.int32)
+                seg = np.zeros(seq_length, np.int32)
+                src[: len(ids)] = ids
+                seg[: len(ids)] = 1
+                self.rows.append((src, np.int32(int(label)), seg))
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        src, tgt, seg = self.rows[i]
+        return {"src": src, "tgt": tgt, "seg": seg}
+
+
+class VitImageDataset:
+    """ViT classification processor (utils/dataset.py vit variant):
+    (image file, label) pairs -> (pixels in [0,1] CHW, label, all-ones
+    seg over the cls+patch sequence)."""
+
+    def __init__(self, items, image_height: int = 224,
+                 image_width: int = 224, patch_size: int = 16):
+        self.items = list(items)          # [(path, label), ...]
+        self.h, self.w = image_height, image_width
+        self.seq = (image_height // patch_size) * (
+            image_width // patch_size) + 1
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        path, label = self.items[i]
+        img = Image.open(path).convert("RGB").resize((self.w, self.h))
+        pixels = (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+        return {"src": pixels, "tgt": np.int32(label),
+                "seg": np.ones(self.seq, np.int32)}
+
+
+class ClipPairDataset:
+    """CLIP contrastive processor (utils/dataset.py clip variant):
+    (text, image) pairs for the dual encoder + clr target. Yields both
+    streams; the clr target's tgt is positional (arange), so tgt here is
+    the row index."""
+
+    def __init__(self, pairs, tokenizer, seq_length: int,
+                 image_height: int = 224, image_width: int = 224,
+                 patch_size: int = 16, cls_id: int = 0, sep_id: int = 2,
+                 pad_id: int = 1):
+        self.pairs = list(pairs)          # [(text, image_path), ...]
+        self.tok = tokenizer
+        self.seq_length = seq_length
+        self.h, self.w = image_height, image_width
+        self.img_seq = (image_height // patch_size) * (
+            image_width // patch_size) + 1
+        self.cls_id, self.sep_id, self.pad_id = cls_id, sep_id, pad_id
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        text, img_path = self.pairs[i]
+        ids = [self.cls_id] + self.tok.encode(text)[: self.seq_length - 2] \
+            + [self.sep_id]
+        src = np.full(self.seq_length, self.pad_id, np.int32)
+        seg = np.zeros(self.seq_length, np.int32)
+        src[: len(ids)] = ids
+        seg[: len(ids)] = 1
+        img = Image.open(img_path).convert("RGB").resize((self.w, self.h))
+        pixels = (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+        return {"src_text": src, "seg_text": seg, "src_image": pixels,
+                "seg_image": np.ones(self.img_seq, np.int32),
+                "tgt": np.int32(i)}

@@ -85,6 +85,17 @@ class FusionTrunk(nn.Module):
         return x
 
 
+def _trunk_cls(cfg: ModelConfig):
+    """FusionTrunk, optionally activation-rematerialized (cfg.remat):
+    the (B,T,196,3072) MLP/FFN activations are recomputed in the backward
+    instead of stored, trading ~1/3 extra trunk FLOPs for the memory that
+    caps the per-chip batch."""
+    if cfg.remat:
+        # static_argnums counts self as 0: (text, img, deterministic) = 3
+        return nn.remat(FusionTrunk, static_argnums=(3,))
+    return FusionTrunk
+
+
 class ScoreModel(nn.Module):
     """Pointwise scorer == reference Classifier/Actor.
 
@@ -99,7 +110,7 @@ class ScoreModel(nn.Module):
     def __call__(self, text_emb: Array, img_emb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         cfg = self.cfg
-        x = FusionTrunk(cfg, self.dtype, name="trunk")(
+        x = _trunk_cls(cfg)(cfg, self.dtype, name="trunk")(
             text_emb, img_emb, deterministic)
         out = 1 if cfg.mode == "reg" else cfg.labels_num
         logits = TorchDense(out, cfg.init_style, dtype=self.dtype,
@@ -132,7 +143,7 @@ class SeqScoreModel(nn.Module):
         # from 2 distinct tags — half the trunk FLOPs are repeats). Same
         # math: in eval (rollout/reward) there is no dropout, and in
         # training the duplicated positions share dropout masks.
-        x = FusionTrunk(cfg, self.dtype, name="trunk")(
+        x = _trunk_cls(cfg)(cfg, self.dtype, name="trunk")(
             text_emb, img_emb, deterministic)          # (B, T, D)
         x = jnp.take_along_axis(
             x, index[..., None].astype(jnp.int32), axis=1)  # (B, K, D)

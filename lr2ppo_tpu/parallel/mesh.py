@@ -24,6 +24,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` (reads the TPU
+    pod metadata when args are None). Replaces the reference's torchrun
+    env:// NCCL rendezvous (misc.py:77-91); after this, jax.devices()
+    spans the pod and the same dp/tp mesh code shards over ICI within a
+    slice and DCN across slices."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(dp: int = -1, tp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -189,8 +189,22 @@ def import_pretrained(path: str, kind: str = "single") -> dict:
 # native checkpoints (save-best contract: model_saver.py:4-11)
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path: str, tree, metadata: Optional[dict] = None) -> None:
-    """Save a pytree (params and/or optimizer state) atomically."""
+def save_checkpoint(path: str, tree, metadata: Optional[dict] = None,
+                    backend: str = "pickle") -> None:
+    """Save a pytree (params and/or optimizer state) atomically.
+
+    backend 'orbax' writes an orbax-checkpoint directory (sharded-array
+    aware, multi-host safe) at `path`; 'pickle' (default) writes a single
+    portable file."""
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path),
+                   {"tree": tree, "metadata": metadata or {}},
+                   force=True)
+        ckptr.wait_until_finished()
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     host_tree = jax.tree.map(np.asarray, tree)
     payload = {"tree": host_tree, "metadata": metadata or {}}
@@ -198,6 +212,13 @@ def save_checkpoint(path: str, tree, metadata: Optional[dict] = None) -> None:
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)
     os.replace(tmp, path)
+
+
+def load_orbax_checkpoint(path: str):
+    import orbax.checkpoint as ocp
+
+    payload = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    return payload["tree"], payload.get("metadata", {})
 
 
 def load_checkpoint(path: str):
