@@ -176,10 +176,15 @@ class XiT(nn.Module):
     pallas_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
 
+    # only tensors at least this large go through the pallas kernel: the
+    # hardware-PRNG win must outweigh the fusion barrier an opaque
+    # pallas_call puts around the op (small sites stay threefry+fused)
+    PALLAS_DROPOUT_MIN_ELEMENTS = 128 * 1024 * 1024
+
     def _drop(self, x: Array, rate: float, deterministic: bool) -> Array:
         if deterministic or rate == 0.0:
             return x
-        if self.pallas_dropout:
+        if self.pallas_dropout and x.size >= self.PALLAS_DROPOUT_MIN_ELEMENTS:
             from lr2ppo_tpu.ops.pallas_dropout import (
                 seed_from_key, tpu_dropout)
 

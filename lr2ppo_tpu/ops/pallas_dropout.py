@@ -11,6 +11,15 @@ the standard TPU trade).
 
 Semantics match flax nn.Dropout: keep with probability (1-rate), scale
 kept values by 1/(1-rate).
+
+Measured trade-off on a 16GB v5e at the flagship PPO step: the opaque
+pallas_call boundary forces the surrounding gelu/FFN activations to
+materialize in HBM (XLA can no longer fuse or remat through it), which
+costs MORE memory than the threefry masks it avoids — bs=256 OOMs with
+the kernel (even gated to the single 308M-element site) but fits with
+threefry, and threefry@256 (762 samples/s) beats kernel@128 (732). Hence
+ModelConfig.pallas_dropout defaults to False; the kernel pays off when
+HBM is not the binding constraint (larger chips, smaller models).
 """
 
 from __future__ import annotations
