@@ -11,7 +11,6 @@ from fixtures import make_letor_groups
 from lr2ppo_tpu.config import Config, ModelConfig
 from lr2ppo_tpu.data import EvalLoader, LetorQueries, Loader
 from lr2ppo_tpu.data import LTRPPODataset, LTRPointwiseDataset, LTRRewardDataset
-from lr2ppo_tpu.train.evaluate import evaluate_ndcg
 from lr2ppo_tpu.train.pointwise import PointwiseTrainer
 from lr2ppo_tpu.train.ppo import PPOTrainer
 from lr2ppo_tpu.train.reward import RewardTrainer
@@ -39,7 +38,6 @@ def test_three_stage_recipe_improves_ndcg(tmp_path):
     for q, g in groups.items():
         g[:, 2] = g[:, 0] * 1.5 + rng.randn(g.shape[0]) * 0.2
         g[:, 3] = -g[:, 0] + rng.randn(g.shape[0]) * 0.2
-    q_all = LetorQueries(groups)
     train_q = LetorQueries({k: v for k, v in groups.items() if k < 18})
     val_q = LetorQueries({k: v for k, v in groups.items() if k >= 18})
 
