@@ -58,11 +58,13 @@ def movienet_eval_loader(cfg: Config, mode: str = "eval",
                   num_workers=cfg.data.num_workers)
 
 
-def letor_queries(path: str) -> LetorQueries:
+def letor_queries(path: str, split: str = "train") -> LetorQueries:
     """`path` is either a grouped .h5 file or a directory holding
-    {train,test}.h5 (reference ppo_trad.py:64-68)."""
+    {train,test}.h5 (reference ppo_trad.py:64-68); `split` picks the file
+    for directory paths — eval callers MUST pass 'test' or validation
+    silently runs on training queries."""
     if os.path.isdir(path):
-        return LetorQueries.from_dir(path, "train")
+        return LetorQueries.from_dir(path, split)
     return LetorQueries.from_h5(path)
 
 
@@ -70,7 +72,7 @@ def letor_pointwise_loaders(cfg: Config):
     train = Loader(LTRPointwiseDataset(letor_queries(cfg.data.train_path)),
                    cfg.batch_size, shuffle=True, seed=cfg.seed,
                    num_workers=cfg.data.num_workers)
-    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path)
+    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path, "test")
     docs = max(g.shape[0] for g in evq.groups.values())
     ev = EvalLoader(LTRPointwiseDataset(evq), buckets=[docs],
                     batch_size=cfg.batch_size)
@@ -83,7 +85,7 @@ def letor_reward_loaders(cfg: Config, relevance_classes: int = 5):
                                 relevance_classes=relevance_classes,
                                 seed=cfg.seed)
     ev_ds = LTRRewardDataset(
-        letor_queries(cfg.data.dev_path or cfg.data.test_path),
+        letor_queries(cfg.data.dev_path or cfg.data.test_path, "test"),
         max_tags=max(cfg.data.max_tags // 4, 1),
         relevance_classes=relevance_classes, seed=cfg.seed + 999)
     return (Loader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
@@ -94,7 +96,7 @@ def letor_reward_loaders(cfg: Config, relevance_classes: int = 5):
 
 def letor_ppo_loaders(cfg: Config):
     q = letor_queries(cfg.data.train_path)
-    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path)
+    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path, "test")
     docs = max(g.shape[0] for g in evq.groups.values())
 
     def make_train_loader(epoch: int) -> Loader:

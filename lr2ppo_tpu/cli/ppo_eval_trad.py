@@ -22,7 +22,7 @@ def main(argv=None):
                                 kind="actor_critic")
     actor_params = tree["actor"] if "actor" in tree else tree
     model = ScoreModel(cfg.model, jnp.dtype(cfg.mesh.compute_dtype))
-    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path)
+    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path, "test")
     ds = LTRPPODataset(evq, False)
     docs = max(g.shape[0] for g in evq.groups.values())
     from lr2ppo_tpu.data import EvalLoader

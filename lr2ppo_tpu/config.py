@@ -189,16 +189,15 @@ def _merge_into(cfg: Any, overrides: dict) -> Any:
             else:
                 updates[k] = v
         else:
-            # route flat key into the first sub-config that has it
+            # route flat key into EVERY sub-config that has it (max_imgs
+            # lives in both model and data; routing to only one silently
+            # desynchronizes the model geometry from the loaders)
             for f in dataclasses.fields(cfg):
-                sub = getattr(cfg, f.name)
+                sub = updates.get(f.name, getattr(cfg, f.name))
                 if dataclasses.is_dataclass(sub) and k in {
                     sf.name for sf in dataclasses.fields(sub)
                 }:
-                    updates[f.name] = _merge_into(
-                        updates.get(f.name, sub), {k: v}
-                    )
-                    break
+                    updates[f.name] = _merge_into(sub, {k: v})
             # unknown keys are ignored (reference argparse tolerates extras)
     return dataclasses.replace(cfg, **updates)
 
@@ -273,7 +272,9 @@ def build_parser(description: str = "lr2ppo-tpu") -> argparse.ArgumentParser:
     for flag, (sub, fieldname) in _FLAG_ROUTES.items():
         default = getattr(getattr(d, sub), fieldname)
         p.add_argument(f"--{flag}", type=_argtype(default), default=None)
-    # accepted-for-compat flags from the reference scripts (ignored)
+    # accepted-for-compat flags from the reference scripts (ignored).
+    # --use_pairwise is dead in the reference too: every driver parses it
+    # (e.g. pointwise.py:461) but no code ever reads args.use_pairwise.
     for compat in ["mask", "vocab_path", "merges_path", "tokenizer",
                    "encoder", "vit_pretrained_model_path", "vit_tokenizer",
                    "vit_config_path", "vit_encoder", "dist_url"]:
@@ -310,4 +311,8 @@ def parse_config(argv: Optional[List[str]] = None,
         v = getattr(ns, flag, None)
         if v is not None:
             cfg = _merge_into(cfg, {sub: {fieldname: v}})
+    # max_imgs is both model geometry (fusion_tokens -> out_layer fan-in)
+    # and loader padding width: keep them in lockstep however it was set
+    if getattr(ns, "max_imgs", None) is not None:
+        cfg = _merge_into(cfg, {"model": {"max_imgs": ns.max_imgs}})
     return cfg

@@ -59,7 +59,10 @@ class Loader:
             if len(idx) < self.bs:
                 if self.drop_last:
                     break
-                idx = np.concatenate([idx, order[: self.bs - len(idx)]])
+                # wrap-around padding, encoded negative (idx - n) so the
+                # producer can mark the padded rows (i % n recovers them)
+                idx = np.concatenate(
+                    [idx, order[: self.bs - len(idx)] - len(self.ds)])
             batches.append(idx)
         return batches
 
@@ -68,20 +71,44 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         stop = threading.Event()
+        n = len(self.ds)
 
         def make_batch(idx):
-            return _collate([self.ds.get(int(i)) for i in idx])
+            batch = _collate([self.ds.get(int(i) % n) for i in idx])
+            wrapped = int((np.asarray(idx) < 0).sum())
+            if wrapped and not self.drop_last:
+                # wrap-padded rows in the final batch: mark so eval
+                # consumers don't double-count them
+                valid = np.ones(len(idx), bool)
+                valid[len(idx) - wrapped:] = False
+                batch["_valid"] = valid
+            return batch
 
         def producer():
+            # bounded in-flight window: q.maxsize only throttles puts,
+            # so submitting everything up front would materialize the
+            # whole epoch in Future results (hundreds of GB for MovieNet)
+            window = self.prefetch_depth + self.num_workers
             try:
-                futures = [pool.submit(make_batch, idx) for idx in batches]
-                for f in futures:
-                    if stop.is_set():
+                pending = []
+                it = iter(batches)
+                for idx in it:
+                    pending.append(pool.submit(make_batch, idx))
+                    if len(pending) >= window:
                         break
+                i = 0
+                for idx in it:
+                    if stop.is_set():
+                        return
+                    q.put(pending[i].result())
+                    pending.append(pool.submit(make_batch, idx))
+                    i += 1
+                for f in pending[i:]:
+                    if stop.is_set():
+                        return
                     q.put(f.result())
-            except Exception:
-                if not stop.is_set():
-                    raise
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -92,6 +119,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, Exception):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -74,11 +74,6 @@ def ndcg_from_scores(scores: Array, gold: Array,
     return jnp.stack(out)
 
 
-ndcg_from_scores_batch = jax.vmap(
-    ndcg_from_scores, in_axes=(0, 0, None, 0), out_axes=0
-)
-
-
 class AverageNDCGMeter:
     """Host accumulator mirroring the reference API (ndcg.py:9-65)."""
 

@@ -210,13 +210,15 @@ class GatedcnnEncoder(nn.Module):
             return jnp.dot(self._causal_windows(x, k), w.astype(x.dtype),
                            preferred_element_type=x.dtype) + b
 
-        hidden = conv("conv_1", emb, cfg.emb_size)
-        gate = conv("gate_1", emb, cfg.emb_size)
+        hidden = conv("conv_stem", emb, cfg.emb_size)
+        gate = conv("gate_stem", emb, cfg.emb_size)
         hidden = hidden * jax.nn.sigmoid(gate)
         res_input = hidden
         for i in range(cfg.layers_num - 1):
-            h = conv(f"conv_{i}", hidden, hs)
-            gt = conv(f"gate_{i}", hidden, hs)
+            # distinct names from the stem: with emb_size == hidden_size a
+            # collision would silently SHARE weights between layers
+            h = conv(f"conv_layer_{i}", hidden, hs)
+            gt = conv(f"gate_layer_{i}", hidden, hs)
             hidden = h * jax.nn.sigmoid(gt)
             if (i + 1) % cfg.block_size == 0:
                 hidden = hidden + res_input

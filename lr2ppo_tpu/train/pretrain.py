@@ -27,6 +27,19 @@ from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
 
 
+def _norm_target_out(out, rows: int):
+    """Targets return (loss, correct, denom) for mlm/lm/bilm but
+    (loss, correct) for cls/sp/clr, and {name: tuple} for composites —
+    normalize to (loss, correct, denom)."""
+    if isinstance(out, dict):
+        parts = [_norm_target_out(v, rows) for v in out.values()]
+        return (sum(p[0] for p in parts), sum(p[1] for p in parts),
+                sum(p[2] for p in parts))
+    if len(out) == 2:
+        return out[0], out[1], jnp.asarray(float(rows))
+    return out
+
+
 def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, rng, src, tgt, seg):
@@ -36,7 +49,8 @@ def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
             out = model.apply({"params": params}, mb["src"], mb["tgt"],
                               mb["seg"], deterministic=False,
                               rngs={"dropout": mb["rng"]})
-            loss, correct, denom = out
+            loss, correct, denom = _norm_target_out(out,
+                                                    mb["src"].shape[0])
             return loss, (correct, denom)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -86,12 +100,21 @@ class PretrainTrainer:
         return self.ctx.place_params(params)
 
     def _fold(self, batch):
-        """(accum*micro, S) host batch -> (accum, micro, S) arrays."""
+        """(accum*micro, S) host batch -> (accum, micro, S) device arrays
+        with the micro-batch axis sharded over dp."""
         out = {}
         for k in ("src", "tgt", "seg"):
-            v = batch[k]
-            out[k] = v.reshape(self.accum, v.shape[0] // self.accum,
-                               *v.shape[1:])
+            v = np.asarray(batch[k])
+            v = v.reshape(self.accum, v.shape[0] // self.accum,
+                          *v.shape[1:])
+            if self.ctx.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                out[k] = jax.device_put(
+                    v, NamedSharding(self.ctx.mesh,
+                                     P(None, "dp")))
+            else:
+                out[k] = jnp.asarray(v)
         return out
 
     def fit(self, train_loader, total_steps: Optional[int] = None,
@@ -111,13 +134,10 @@ class PretrainTrainer:
         for epoch in range(1, cfg.epochs_num + 1):
             train_loader.set_epoch(epoch)
             for batch in train_loader:
-                b = self.ctx.put(batch)
-                folded = self._fold(jax.tree.map(np.asarray, batch))
+                folded = self._fold(batch)
                 key, sub = jax.random.split(key)
-                state, m = step_fn(state, sub,
-                                   jnp.asarray(folded["src"]),
-                                   jnp.asarray(folded["tgt"]),
-                                   jnp.asarray(folded["seg"]))
+                state, m = step_fn(state, sub, folded["src"],
+                                   folded["tgt"], folded["seg"])
                 step += 1
                 tokens_since += int(np.prod(batch["src"].shape))
                 if step % cfg.report_steps == 0:

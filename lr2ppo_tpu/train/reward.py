@@ -56,11 +56,14 @@ def _eval_step(model_apply, params, text, img, tgts, chosen, reject):
 def evaluate_pairwise(model, params, eval_loader, put=None) -> float:
     correct, total = 0.0, 0
     for batch in eval_loader:
+        # wrap-padded rows in the final batch must not be double-counted
+        valid = np.asarray(batch.pop(
+            "_valid", np.ones(batch["tgts"].shape[0], bool)))
         b = put(batch) if put else {k: jnp.asarray(v)
                                     for k, v in batch.items()}
         hits = _eval_step(model.apply, params, b["text"], b.get("img"),
                           b["tgts"], b["chosen_index"], b["reject_index"])
-        hits = np.asarray(hits)
+        hits = np.asarray(hits)[valid]
         correct += float(hits.sum())
         total += hits.size
     return correct / max(total, 1)
