@@ -66,13 +66,24 @@ class TransformerEncoder(nn.Module):
                 with_scale=not cfg.remove_attention_scale,
                 dtype=self.dtype, name=name)
 
+        # key-only additive bias unlocks the fused pallas attention path
+        # (layers.MultiHeadedAttention): deterministic fully_visible
+        # passes with no T5 bias / residual-attention chaining
+        key_bias = None
+        if (getattr(cfg, "pallas_attention", False)
+                and cfg.mask == "fully_visible" and deterministic
+                and not cfg.has_residual_attention
+                and not cfg.relative_position_embedding):
+            key_bias = jnp.where(seg > 0, 0.0, -10000.0).astype(jnp.float32)
+
         hidden, prev_attn = emb, None
         shared = layer("transformer") if cfg.parameter_sharing else None
         for i in range(cfg.layers_num):
             blk = shared if shared is not None else layer(f"transformer_{i}")
 
             def run(h, p, blk=blk):
-                return blk(h, mask, position_bias, p, deterministic)
+                return blk(h, mask, position_bias, p, deterministic,
+                           key_bias)
 
             if cfg.remat:
                 run = jax.checkpoint(

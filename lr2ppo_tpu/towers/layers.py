@@ -119,7 +119,8 @@ class MultiHeadedAttention(nn.Module):
     def __call__(self, key: Array, value: Array, query: Array, mask: Array,
                  position_bias: Optional[Array] = None,
                  prev_attn: Optional[Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 key_bias: Optional[Array] = None):
         h, dh = self.heads_num, self.attention_head_size
         inner = h * dh
         dense = lambda name: TorchDense(inner, "torch_default",
@@ -133,6 +134,25 @@ class MultiHeadedAttention(nn.Module):
         q = q.reshape(b, sq, h, dh)
         k = k.reshape(b, sk, h, dh)
         v = v.reshape(b, sk, h, dh)
+
+        # fused pallas path (inference, key-only mask, no T5 bias / score
+        # chaining): scores + probs stay in VMEM (ops/pallas_attention.py)
+        if (key_bias is not None and position_bias is None
+                and prev_attn is None and deterministic and self.with_scale):
+            from lr2ppo_tpu.ops.pallas_attention import fused_attention
+
+            interpret = jax.devices()[0].platform != "tpu"
+            out = fused_attention(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                key_bias.astype(jnp.float32),
+                1.0 / math.sqrt(float(dh)), interpret=interpret)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, sq, inner)
+            out = TorchDense(self.hidden_size, "torch_default",
+                             use_bias=self.has_bias, dtype=self.dtype,
+                             name="final_linear")(out)
+            return out, None
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
@@ -261,7 +281,8 @@ class TransformerLayer(nn.Module):
     def __call__(self, hidden: Array, mask: Array,
                  position_bias: Optional[Array] = None,
                  prev_attn: Optional[Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 key_bias: Optional[Array] = None):
         dh = self.attention_head_size or self.hidden_size // self.heads_num
         attn = MultiHeadedAttention(
             self.hidden_size, self.heads_num, dh, self.dropout,
@@ -279,14 +300,14 @@ class TransformerLayer(nn.Module):
         if self.layernorm_positioning == "post":
             inter, prev_attn_out = attn(hidden, hidden, hidden, mask,
                                         position_bias, prev_attn,
-                                        deterministic)
+                                        deterministic, key_bias)
             inter = ln1(drop(inter) + hidden)
             out = ln2(drop(ffn(inter)) + inter)
         else:
             normed = ln1(hidden)
             inter, prev_attn_out = attn(normed, normed, normed, mask,
                                         position_bias, prev_attn,
-                                        deterministic)
+                                        deterministic, key_bias)
             hidden = hidden + drop(inter)
             out = drop(ffn(ln2(hidden))) + hidden
         return out, prev_attn_out

@@ -82,6 +82,9 @@ class TowerConfig:
     feature_size: int = 512
     # tpu
     remat: bool = False
+    # fused pallas attention on deterministic fully-visible passes
+    # (ops/pallas_attention.py) — the feature-precompute hot path
+    pallas_attention: bool = False
 
     @classmethod
     def from_json(cls, path: str, **overrides) -> "TowerConfig":
