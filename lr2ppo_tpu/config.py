@@ -56,6 +56,10 @@ class ModelConfig:
     # jax.checkpoint the fusion trunk: recompute activations in the
     # backward instead of storing them (unlocks larger batch per chip)
     remat: bool = False
+    # packed-bits dropout (ops/fast_dropout.py): 4 masks per threefry
+    # uint32 — ~4x cheaper RNG, fully XLA-fused; keep probability
+    # quantizes to 1/256 steps (rate 0.1 -> 0.1016)
+    fast_dropout: bool = False
     # torch-style kaiming-uniform init (matches reference stage-1 dynamics,
     # see pointwise.py:239-271 where the roberta ckpt matches no keys and the
     # torch default init survives) vs 'normal_0.02' (ppo.py:362-365 path).

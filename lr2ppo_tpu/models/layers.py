@@ -174,6 +174,7 @@ class XiT(nn.Module):
     forward_expansion: int = 4
     init_style: str = "torch_default"
     pallas_dropout: bool = False
+    fast_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
 
     # only tensors at least this large go through the pallas kernel: the
@@ -184,6 +185,10 @@ class XiT(nn.Module):
     def _drop(self, x: Array, rate: float, deterministic: bool) -> Array:
         if deterministic or rate == 0.0:
             return x
+        if self.fast_dropout:
+            from lr2ppo_tpu.ops.fast_dropout import packed_dropout
+
+            return packed_dropout(x, self.make_rng("dropout"), rate)
         if self.pallas_dropout and x.size >= self.PALLAS_DROPOUT_MIN_ELEMENTS:
             from lr2ppo_tpu.ops.pallas_dropout import (
                 seed_from_key, tpu_dropout)
