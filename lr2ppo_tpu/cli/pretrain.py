@@ -14,16 +14,35 @@ import argparse
 
 from lr2ppo_tpu.config import Config
 from lr2ppo_tpu.data.pipeline import Loader
-from lr2ppo_tpu.data.pretrain_data import MlmCorpusDataset
+from lr2ppo_tpu.data.pretrain_data import (
+    ClsTsvDataset,
+    LmCorpusDataset,
+    MlmCorpusDataset,
+)
 from lr2ppo_tpu.data.tokenizers import str2tokenizer
 from lr2ppo_tpu.towers.model import TowerConfig
 from lr2ppo_tpu.train.pretrain import PretrainTrainer
+
+# data_processor -> dataset builder (the reference's str2trainer /
+# str2dataset registries, trainer.py:534-539 + utils/dataset.py)
+str2dataset = {
+    "mlm": lambda path, tok, args, cfg: MlmCorpusDataset(
+        path, tok, args.seq_length, cfg.vocab_size,
+        tok.vocab.get(tok.specials.get("mask_token", "<mask>"),
+                      len(tok.vocab) - 1), seed=args.seed),
+    "lm": lambda path, tok, args, cfg: LmCorpusDataset(
+        path, tok, args.seq_length + 1, cfg.vocab_size, 0),
+    "cls": lambda path, tok, args, cfg: ClsTsvDataset(
+        path, tok, args.seq_length),
+}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="lr2ppo-tpu tower pretraining")
     p.add_argument("--corpus_path", required=True)
     p.add_argument("--tower_config", required=True)
+    p.add_argument("--data_processor", default="mlm",
+                   choices=sorted(str2dataset))
     p.add_argument("--tokenizer", default="bpe",
                    choices=["char", "space", "bert", "bpe", "xlmroberta"])
     p.add_argument("--vocab_path", default=None)
@@ -59,10 +78,8 @@ def main(argv=None):
         args.tower_config, vocab_size=max(len(tok.vocab), 1),
         max_seq_length=max(args.seq_length,
                            TowerConfig().max_seq_length))
-    mask_id = tok.vocab.get(tok.specials.get("mask_token", "<mask>"),
-                            len(tok.vocab) - 1)
-    ds = MlmCorpusDataset(args.corpus_path, tok, args.seq_length,
-                          tower_cfg.vocab_size, mask_id, seed=args.seed)
+    ds = str2dataset[args.data_processor](args.corpus_path, tok, args,
+                                          tower_cfg)
     loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed)
 
     cfg = Config()
