@@ -63,11 +63,17 @@ class MovieNetDataset:
         if data is None:
             with open(json_path) as f:
                 data = json.load(f)
+        self._h5_path = h5_path
+        self._h5_shared = h5_file       # injected handle (tests)
+        self._h5_local = None
         if h5_file is None:
-            import h5py
+            import threading
 
-            h5_file = h5py.File(h5_path, "r")
-        self.h5 = h5_file
+            # HDF5 serializes every access through one file handle's
+            # global lock; per-thread handles let the prefetch pool's
+            # workers read concurrently (the reference leaned on 32
+            # DataLoader processes for the same reason, ppo.py:689)
+            self._h5_local = threading.local()
 
         # Per-example plan: (item_id, tag_index, chosen_index, reject_index)
         self.examples: List[tuple] = []
@@ -118,6 +124,18 @@ class MovieNetDataset:
         for i in range(t, max_tags):
             idx.append(add[i % len(add)] if add else i % t)
         return idx
+
+    @property
+    def h5(self):
+        if self._h5_shared is not None:
+            return self._h5_shared
+        handle = getattr(self._h5_local, "handle", None)
+        if handle is None:
+            import h5py
+
+            handle = h5py.File(self._h5_path, "r")
+            self._h5_local.handle = handle
+        return handle
 
     def __len__(self) -> int:
         return len(self.examples)
