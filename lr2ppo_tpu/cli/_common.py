@@ -41,9 +41,12 @@ def movienet_train_loader(cfg: Config, mode: str, seed: int = 0) -> Loader:
     ds = MovieNetDataset(
         cfg.data.train_path, h5_path_for(cfg.data.train_path, cfg), mode,
         max_tags=cfg.data.max_tags, max_imgs=cfg.data.max_imgs, seed=seed)
+    # PPO retains batches in its memory buffer across the sweep, so it
+    # must not reuse collate buffers; the other stages consume-and-drop
     return Loader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed + seed,
                   num_workers=cfg.data.num_workers,
-                  prefetch_depth=cfg.data.prefetch_depth)
+                  prefetch_depth=cfg.data.prefetch_depth,
+                  reuse_buffers=(mode != "ppo"))
 
 
 def movienet_eval_loader(cfg: Config, mode: str = "eval",
@@ -71,7 +74,7 @@ def letor_queries(path: str, split: str = "train") -> LetorQueries:
 def letor_pointwise_loaders(cfg: Config):
     train = Loader(LTRPointwiseDataset(letor_queries(cfg.data.train_path)),
                    cfg.batch_size, shuffle=True, seed=cfg.seed,
-                   num_workers=cfg.data.num_workers)
+                   num_workers=cfg.data.num_workers, reuse_buffers=True)
     evq = letor_queries(cfg.data.dev_path or cfg.data.test_path, "test")
     docs = max(g.shape[0] for g in evq.groups.values())
     ev = EvalLoader(LTRPointwiseDataset(evq), buckets=[docs],
@@ -89,9 +92,9 @@ def letor_reward_loaders(cfg: Config, relevance_classes: int = 5):
         max_tags=max(cfg.data.max_tags // 4, 1),
         relevance_classes=relevance_classes, seed=cfg.seed + 999)
     return (Loader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                   num_workers=cfg.data.num_workers),
+                   num_workers=cfg.data.num_workers, reuse_buffers=True),
             Loader(ev_ds, cfg.batch_size, shuffle=False,
-                   num_workers=cfg.data.num_workers))
+                   num_workers=cfg.data.num_workers, reuse_buffers=True))
 
 
 def letor_ppo_loaders(cfg: Config):

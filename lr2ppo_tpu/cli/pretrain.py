@@ -80,7 +80,8 @@ def main(argv=None):
                            TowerConfig().max_seq_length))
     ds = str2dataset[args.data_processor](args.corpus_path, tok, args,
                                           tower_cfg)
-    loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed)
+    loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed,
+                    reuse_buffers=True)
 
     cfg = Config()
     cfg = cfg.replace(

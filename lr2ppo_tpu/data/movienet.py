@@ -143,7 +143,19 @@ class MovieNetDataset:
     def get(self, i: int) -> Dict[str, np.ndarray]:
         iid, tag_index, ch, rj = self.examples[i]
         grp = self.h5[str(iid)]
-        text = np.asarray(grp["text_emb"][:], dtype=np.float32)[tag_index]
+        # partial-row read: a 2-tag PPO sample must not pull the whole
+        # (tags, 196, 768) matrix (~12MB) off disk to use 2 rows — this
+        # was a 100x host-pipeline bottleneck at real LRMovieNet shapes.
+        # h5py fancy selection needs increasing unique indices.
+        idx = np.asarray(tag_index)
+        if (len(idx) == grp["text_emb"].shape[0]
+                and np.array_equal(idx, np.arange(len(idx)))):
+            text = np.asarray(grp["text_emb"][:], dtype=np.float32)
+        else:
+            uniq, inverse = np.unique(idx, return_inverse=True)
+            rows = np.asarray(grp["text_emb"][uniq.tolist()],
+                              dtype=np.float32)
+            text = rows[inverse]
         img_all = np.asarray(grp["img_emb"][:], dtype=np.float32)[0]
         img = _pad_images(img_all, self.max_imgs, self.rng)
         tgts = np.asarray(

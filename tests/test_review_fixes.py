@@ -68,6 +68,21 @@ def test_loader_bounded_inflight_window():
         pass
 
 
+def test_loader_reuse_buffers_yields_correct_content():
+    ds = _TinyDs(40)
+    plain = [b["x"].copy() for b in Loader(ds, 4, shuffle=False)]
+    reuse_loader = Loader(ds, 4, shuffle=False, reuse_buffers=True,
+                          num_workers=2, prefetch_depth=1)
+    reused = [b["x"].copy() for b in reuse_loader]
+    for a, b in zip(plain, reused):
+        np.testing.assert_array_equal(a, b)
+    # the pool persists and is recycled across epochs
+    assert len(reuse_loader._pool) > 0
+    again = [b["x"].copy() for b in reuse_loader]
+    for a, b in zip(plain, again):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_flat_max_imgs_routes_to_model_and_data():
     cfg = _merge_into(Config(), {"max_imgs": 8})
     assert cfg.model.max_imgs == 8
