@@ -61,7 +61,8 @@ class PointwiseTrainer:
             cfg.log_path + ".jsonl" if cfg.log_path else None)
         dtype = jnp.dtype(cfg.mesh.compute_dtype)
         self.model = model or ScoreModel(cfg.model, dtype)
-        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
+                             cast_dtype=cfg.mesh.compute_dtype)
 
     def init_params(self, sample_batch: Dict[str, np.ndarray], seed: int):
         cfg = self.cfg

@@ -144,7 +144,8 @@ class PPOTrainer:
         self.actor = ScoreModel(cfg.model, dtype)
         self.critic = SeqScoreModel(cfg.model, dtype)
         self.reward = SeqScoreModel(cfg.model, dtype)
-        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
+                             cast_dtype=cfg.mesh.compute_dtype)
 
     # -- parameter loading (key contract: ppo.py:769-771) ---------------
     def init_params(self, sample_batch, seed: int):
@@ -164,6 +165,13 @@ class PPOTrainer:
         else:
             critic_p = self.critic.init(kc, b["text"], b.get("img"), idx4)
             reward_p = self.reward.init(kr, b["text"], b.get("img"), idx4)
+        # the reward model is frozen (ppo.py:780): store its ~520M params
+        # at the compute dtype — fp32 copies of a pure-inference model
+        # cost an extra GB of HBM the update step needs
+        if self.ctx.cast_dtype is not None:
+            reward_p = jax.tree.map(
+                lambda x: x.astype(self.ctx.cast_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, reward_p)
         return (self.ctx.place_params(actor_p),
                 self.ctx.place_params(critic_p),
                 self.ctx.place_params(reward_p))
@@ -242,6 +250,10 @@ class PPOTrainer:
                     state = next_state
                     time_ctr += 1
                     if time_ctr % upd == 0:
+                        # drop the rollout batch's device buffers before
+                        # the sweep re-puts every memory batch — holding
+                        # them costs the update step ~0.6GB of HBM
+                        b = None
                         key, sub = jax.random.split(key)
                         astate, cstate, agg = self._sweep(
                             update_step, astate, cstate, sub, memories)

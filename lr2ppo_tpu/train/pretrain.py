@@ -86,7 +86,8 @@ class PretrainTrainer:
             cfg.log_path + ".jsonl" if cfg.log_path else None)
         dtype = jnp.dtype(cfg.mesh.compute_dtype)
         self.model = TowerModel(tower_cfg, dtype)
-        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
+                             cast_dtype=cfg.mesh.compute_dtype)
 
     def init_params(self, sample):
         if self.cfg.pretrained_model_path:

@@ -81,7 +81,8 @@ class RewardTrainer:
         # reference margins: 1.0 multimodal, 0.01 tabular
         self.margin = margin if margin is not None else (
             1.0 if cfg.model.family == "multimodal" else 0.01)
-        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh)
+        self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
+                             cast_dtype=cfg.mesh.compute_dtype)
 
     def init_params(self, sample_batch, seed: int):
         cfg = self.cfg
