@@ -70,9 +70,9 @@ class Loader:
         # recycle collated batch buffers across iterations: fresh multi-MB
         # numpy allocations page-fault at ~100x the reuse cost on some
         # hosts (measured 1.4s vs 5ms for a 72MB batch under the TPU
-        # sandbox). OPT-IN because yielded batches are only valid until
-        # `window` more batches have been produced — consumers that
-        # retain batches (the PPO memory buffer) must leave this off.
+        # sandbox). OPT-IN because a yielded batch is only valid while it
+        # is the most recently dequeued one — consumers that retain
+        # batches (the PPO memory buffer) must leave this off.
         self.reuse_buffers = reuse_buffers
         self._pool: List[Dict[str, np.ndarray]] = []
 
@@ -131,7 +131,13 @@ class Loader:
             # so submitting everything up front would materialize the
             # whole epoch in Future results (hundreds of GB for MovieNet)
             window = self.prefetch_depth + self.num_workers
-            slots = [None] * (window + 2)
+            # Slot-pool sizing: when batch j is submitted, batch j-window
+            # was just enqueued; with a full queue the consumer may still
+            # be using batch j-window-prefetch_depth. Batch j writes into
+            # the slot of batch j-len(slots), so the pool needs at least
+            # window + prefetch_depth + 1 slots (+1 margin) or a worker
+            # overwrites the batch the consumer holds.
+            slots = [None] * (window + self.prefetch_depth + 2)
             if self.reuse_buffers:
                 while len(self._pool) < len(slots):
                     self._pool.append({})

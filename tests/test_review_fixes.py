@@ -83,6 +83,30 @@ def test_loader_reuse_buffers_yields_correct_content():
         np.testing.assert_array_equal(a, b)
 
 
+def test_loader_reuse_buffers_slow_consumer_no_corruption():
+    # Round-1 advisor HIGH finding: with a pool of window+2 slots, batch j
+    # reused the slot of batch j-window-2 — exactly the batch a slow
+    # consumer had just dequeued and was still reading. Hold each batch
+    # while the producer races ahead and check it is never overwritten.
+    import time
+
+    class Slow(_TinyDs):
+        def get(self, i):
+            time.sleep(0.0002)  # keep workers busy so the window fills
+            return super().get(i)
+
+    ds = Slow(600)
+    loader = Loader(ds, 4, shuffle=False, reuse_buffers=True,
+                    num_workers=4, prefetch_depth=2)
+    for k, batch in enumerate(loader):
+        expect = np.stack([np.full(3, 4 * k + j, np.float32)
+                           for j in range(4)])
+        time.sleep(0.002)  # producer fills the queue + in-flight window
+        np.testing.assert_array_equal(
+            batch["x"], expect,
+            err_msg=f"batch {k} mutated while held by the consumer")
+
+
 def test_flat_max_imgs_routes_to_model_and_data():
     cfg = _merge_into(Config(), {"max_imgs": 8})
     assert cfg.model.max_imgs == 8
