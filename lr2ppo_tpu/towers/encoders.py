@@ -152,15 +152,21 @@ class _RecurrentEncoder(nn.Module):
             for direction in (range(2) if bidir else range(1)):
                 sfx = f"l{k}" + ("_reverse" if direction else "")
                 in_dim = x.shape[-1]
-                wi = self.param(f"weight_ih_{sfx}",
-                                jax.nn.initializers.uniform(1.0 / hs ** 0.5),
+                # torch nn.RNN/LSTM/GRU init all weights AND biases
+                # U(-k, k), k = 1/sqrt(hidden); jax.nn.initializers.uniform
+                # is [0, k) only, which biases from-scratch towers
+                k_init = 1.0 / hs ** 0.5
+
+                def sym_uniform(key, shape, dtype, k=k_init):
+                    return jax.random.uniform(key, shape, dtype, -k, k)
+
+                wi = self.param(f"weight_ih_{sfx}", sym_uniform,
                                 (g * hs, in_dim), jnp.float32)
-                wh = self.param(f"weight_hh_{sfx}",
-                                jax.nn.initializers.uniform(1.0 / hs ** 0.5),
+                wh = self.param(f"weight_hh_{sfx}", sym_uniform,
                                 (g * hs, hs), jnp.float32)
-                bi = self.param(f"bias_ih_{sfx}", jax.nn.initializers.zeros,
+                bi = self.param(f"bias_ih_{sfx}", sym_uniform,
                                 (g * hs,), jnp.float32)
-                bh = self.param(f"bias_hh_{sfx}", jax.nn.initializers.zeros,
+                bh = self.param(f"bias_hh_{sfx}", sym_uniform,
                                 (g * hs,), jnp.float32)
                 seq = x[:, ::-1] if direction else x
 

@@ -13,7 +13,9 @@ true synchronized DP strictly dominates and is the documented deviation).
 
 from __future__ import annotations
 
+import pickle
 from functools import partial
+from itertools import islice
 from typing import Dict, Optional
 
 import jax
@@ -83,16 +85,40 @@ class PointwiseTrainer:
             steps_per_epoch * cfg.epochs_num) + 1
         tx = build_optimizer(cfg.optim, total)
 
-        first = next(iter(train_loader))
         step = 0
+        start_epoch, skip_batches = 1, 0
         if cfg.resume_path:
-            (tree, meta) = checkpoints.load_checkpoint(cfg.resume_path)
-            state = TrainState(self.ctx.place_params(tree["params"]),
-                               tree["opt_state"],
-                               jnp.asarray(tree["step"]))
+            try:
+                tree, meta = checkpoints.load_checkpoint(cfg.resume_path)
+            except (pickle.UnpicklingError, UnicodeDecodeError,
+                    IsADirectoryError, PermissionError):
+                tree, meta = checkpoints.load_orbax_checkpoint(
+                    cfg.resume_path)
+            params = self.ctx.place_params(tree["params"])
+            # orbax restores plain containers, not optax NamedTuples:
+            # re-graft the leaves onto the native structure (shape-only
+            # via eval_shape — no moment allocation)
+            ref_struct = jax.tree.structure(
+                jax.eval_shape(tx.init, params["params"]))
+            restored_opt = tree["opt_state"]
+            if jax.tree.structure(restored_opt) != ref_struct:
+                restored_opt = jax.tree.unflatten(
+                    ref_struct, jax.tree.leaves(restored_opt))
+            # moment trees mirror the param paths, so the same megatron
+            # sharding rules place them; scalars (count) replicate. A
+            # host-restored tree left unplaced breaks the dp/tp layout.
+            opt_state = self.ctx.place_params(restored_opt)
+            state = TrainState(params, opt_state, jnp.asarray(tree["step"]))
             step = int(meta.get("step", tree["step"]))
-            self.logger.info(f"resumed from {cfg.resume_path} @ step {step}")
+            # fast-forward the data stream: without this a resumed run
+            # restarts at epoch 1 while keeping the restored step counter
+            start_epoch = min(step // steps_per_epoch + 1, cfg.epochs_num)
+            skip_batches = step % steps_per_epoch
+            self.logger.info(
+                f"resumed from {cfg.resume_path} @ step {step} "
+                f"(epoch {start_epoch}, skipping {skip_batches} batches)")
         else:
+            first = next(iter(train_loader))
             params = self.init_params(first, cfg.seed)
             state = init_state(params, tx)
         train_step = make_train_step(self.model, tx, cfg.model.mode)
@@ -104,9 +130,12 @@ class PointwiseTrainer:
         self.logger.info(
             f"Start training: {steps_per_epoch} steps/epoch, "
             f"{cfg.epochs_num} epochs")
-        for epoch in range(1, cfg.epochs_num + 1):
+        for epoch in range(start_epoch, cfg.epochs_num + 1):
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
+            it = iter(train_loader)
+            if epoch == start_epoch and skip_batches:
+                it = islice(it, skip_batches, None)
+            for batch in it:
                 b = self.ctx.put(batch)
                 key, sub = jax.random.split(key)
                 state, loss = train_step(state, sub, b["text"],

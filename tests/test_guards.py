@@ -38,23 +38,68 @@ def _tiny_cfg(tmp_path):
 
 
 def test_resume_continues_from_saved_state(tmp_path):
-    groups = make_letor_groups(n_queries=8, docs=6, n_feat=16)
+    # 24 query-items / bs 4 = 6 steps/epoch; 2 epochs; save every 5
+    # steps so the last saved state is step 10 (epoch 2, batch 4).
+    groups = make_letor_groups(n_queries=24, docs=6, n_feat=16)
     q = LetorQueries(groups)
     ds = LTRPointwiseDataset(q)
     train = Loader(ds, batch_size=4, shuffle=True, seed=0)
     ev = EvalLoader(ds, buckets=[6], batch_size=4)
 
-    cfg = _tiny_cfg(tmp_path)
-    cfg = cfg.replace(save_state_steps=2)
+    cfg = _tiny_cfg(tmp_path).replace(save_state_steps=5, epochs_num=2)
     tr = PointwiseTrainer(cfg)
     state, _ = tr.fit(train, ev)
+    assert int(state.step) == 12
     state_path = str(tmp_path / "best.ckpt.state")
     import os
 
     assert os.path.exists(state_path)
 
-    cfg2 = _tiny_cfg(tmp_path).replace(resume_path=state_path)
+    cfg2 = _tiny_cfg(tmp_path).replace(resume_path=state_path,
+                                       epochs_num=2)
     tr2 = PointwiseTrainer(cfg2)
     state2, best2 = tr2.fit(train, ev)
-    assert int(state2.step) > int(np.asarray(2))  # continued past saved step
+    # fast-forward: resume at epoch 2 batch 5, so exactly 2 more steps —
+    # NOT a full restart at epoch 1 (which would end at 10+12=22)
+    assert int(state2.step) == 12
+    assert np.isfinite(best2)
+    # opt_state leaves carry the same shardings as their params
+    import jax
+
+    params_leaves = jax.tree.leaves(state2.params["params"])
+    mu_like = [l for l in jax.tree.leaves(state2.opt_state)
+               if hasattr(l, "sharding") and l.ndim > 0]
+    param_shardings = {l.shape: l.sharding for l in params_leaves}
+    for leaf in mu_like:
+        if leaf.shape in param_shardings:
+            assert leaf.sharding == param_shardings[leaf.shape], (
+                f"opt_state leaf {leaf.shape} sharding mismatch")
+
+
+def test_resume_from_orbax_state(tmp_path):
+    # a state saved with the orbax backend (directory) must also resume:
+    # load_checkpoint raises, the trainer falls back to orbax and
+    # re-grafts the plain-container tree onto the optax structure
+    from lr2ppo_tpu.train import checkpoints
+
+    groups = make_letor_groups(n_queries=24, docs=6, n_feat=16)
+    ds = LTRPointwiseDataset(LetorQueries(groups))
+    train = Loader(ds, batch_size=4, shuffle=True, seed=0)
+    ev = EvalLoader(ds, buckets=[6], batch_size=4)
+
+    cfg = _tiny_cfg(tmp_path).replace(epochs_num=1)
+    tr = PointwiseTrainer(cfg)
+    state, _ = tr.fit(train, ev)
+    orbax_path = str(tmp_path / "orbax.state")
+    checkpoints.save_checkpoint(
+        orbax_path,
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": int(state.step)},
+        {"step": int(state.step)}, backend="orbax")
+
+    cfg2 = _tiny_cfg(tmp_path).replace(resume_path=orbax_path,
+                                       epochs_num=2)
+    tr2 = PointwiseTrainer(cfg2)
+    state2, best2 = tr2.fit(train, ev)
+    assert int(state2.step) == 12  # 6 saved + epoch-2's 6 steps
     assert np.isfinite(best2)
