@@ -19,21 +19,75 @@ from lr2ppo_tpu.data.pretrain_data import (
     LmCorpusDataset,
     MlmCorpusDataset,
 )
+from lr2ppo_tpu.data.pretrain_processors import (
+    AlbertDocsDataset,
+    BartDocsDataset,
+    BertDocsDataset,
+    BilmCorpusDataset,
+    ClsMlmTsvDataset,
+    GsgDocsDataset,
+    MtTsvDataset,
+    PrefixlmTsvDataset,
+    T5CorpusDataset,
+)
 from lr2ppo_tpu.data.tokenizers import str2tokenizer
 from lr2ppo_tpu.towers.model import TowerConfig
 from lr2ppo_tpu.train.pretrain import PretrainTrainer
+
+
+def _mask_id(tok):
+    return tok.vocab.get(tok.specials.get("mask_token", "<mask>"),
+                         len(tok.vocab) - 1)
+
 
 # data_processor -> dataset builder (the reference's str2trainer /
 # str2dataset registries, trainer.py:534-539 + utils/dataset.py)
 str2dataset = {
     "mlm": lambda path, tok, args, cfg: MlmCorpusDataset(
-        path, tok, args.seq_length, cfg.vocab_size,
-        tok.vocab.get(tok.specials.get("mask_token", "<mask>"),
-                      len(tok.vocab) - 1), seed=args.seed),
+        path, tok, args.seq_length, cfg.vocab_size, _mask_id(tok),
+        seed=args.seed),
     "lm": lambda path, tok, args, cfg: LmCorpusDataset(
         path, tok, args.seq_length + 1, cfg.vocab_size, 0),
     "cls": lambda path, tok, args, cfg: ClsTsvDataset(
         path, tok, args.seq_length),
+    "bert": lambda path, tok, args, cfg: BertDocsDataset(
+        path, tok, args.seq_length, cfg.vocab_size, _mask_id(tok),
+        seed=args.seed, short_seq_prob=args.short_seq_prob,
+        dup_factor=args.dup_factor),
+    "albert": lambda path, tok, args, cfg: AlbertDocsDataset(
+        path, tok, args.seq_length, cfg.vocab_size, _mask_id(tok),
+        seed=args.seed, short_seq_prob=args.short_seq_prob,
+        dup_factor=args.dup_factor),
+    "cls_mlm": lambda path, tok, args, cfg: ClsMlmTsvDataset(
+        path, tok, args.seq_length, cfg.vocab_size, _mask_id(tok),
+        seed=args.seed),
+    "bilm": lambda path, tok, args, cfg: BilmCorpusDataset(
+        path, tok, args.seq_length),
+    "mt": lambda path, tok, args, cfg: MtTsvDataset(
+        path, tok, args.seq_length, args.tgt_seq_length),
+    "t5": lambda path, tok, args, cfg: T5CorpusDataset(
+        path, tok, args.seq_length, args.tgt_seq_length, cfg.vocab_size,
+        sentinel_start=(args.sentinel_start
+                        if args.sentinel_start is not None
+                        else len(tok.vocab)), seed=args.seed),
+    "gsg": lambda path, tok, args, cfg: GsgDocsDataset(
+        path, tok, args.seq_length, args.tgt_seq_length, _mask_id(tok),
+        strategy=args.sentence_selection_strategy, seed=args.seed),
+    "bart": lambda path, tok, args, cfg: BartDocsDataset(
+        path, tok, args.seq_length, cfg.vocab_size, _mask_id(tok),
+        seed=args.seed),
+    "prefixlm": lambda path, tok, args, cfg: PrefixlmTsvDataset(
+        path, tok, args.seq_length),
+}
+
+# data_processor -> train-step batch form (train/pretrain.py form_args)
+str2form = {
+    "mlm": "simple", "lm": "simple", "cls": "simple",
+    "prefixlm": "simple",
+    "bert": "pair_sp", "albert": "pair_sp",
+    "cls_mlm": "pair_cls",
+    "bilm": "bilm",
+    "mt": "seq2seq", "t5": "seq2seq", "gsg": "seq2seq", "bart": "seq2seq",
 }
 
 
@@ -55,6 +109,13 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--accumulation_steps", type=int, default=1)
     p.add_argument("--seq_length", type=int, default=128)
+    p.add_argument("--tgt_seq_length", type=int, default=128)
+    p.add_argument("--short_seq_prob", type=float, default=0.1)
+    p.add_argument("--dup_factor", type=int, default=1)
+    p.add_argument("--sentinel_start", type=int, default=None,
+                   help="first T5 sentinel id (default: len(vocab))")
+    p.add_argument("--sentence_selection_strategy", default="random",
+                   choices=["random", "lead"])
     p.add_argument("--total_steps", type=int, default=None)
     p.add_argument("--epochs_num", type=int, default=1)
     p.add_argument("--report_steps", type=int, default=100)
@@ -74,8 +135,11 @@ def main(argv=None):
     else:
         tok = str2tokenizer[args.tokenizer](args.vocab_path)
 
+    # T5 sentinels live past the vocab end; grow the embedding to fit
+    extra_vocab = (100 if args.data_processor == "t5"
+                   and args.sentinel_start is None else 0)
     tower_cfg = TowerConfig.from_json(
-        args.tower_config, vocab_size=max(len(tok.vocab), 1),
+        args.tower_config, vocab_size=max(len(tok.vocab), 1) + extra_vocab,
         max_seq_length=max(args.seq_length,
                            TowerConfig().max_seq_length))
     ds = str2dataset[args.data_processor](args.corpus_path, tok, args,
@@ -93,7 +157,8 @@ def main(argv=None):
     cfg.mesh.dp = args.dp
     cfg.mesh.compute_dtype = args.compute_dtype
 
-    trainer = PretrainTrainer(cfg, tower_cfg, args.accumulation_steps)
+    trainer = PretrainTrainer(cfg, tower_cfg, args.accumulation_steps,
+                              form=str2form[args.data_processor])
     _state, best = trainer.fit(loader, args.total_steps,
                                args.save_checkpoint_steps)
     return best

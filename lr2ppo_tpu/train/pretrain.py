@@ -40,17 +40,47 @@ def _norm_target_out(out, rows: int):
     return out
 
 
-def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, rng, src, tgt, seg):
-        """src/tgt/seg: (accum, micro_bs, S)."""
+def form_args(form: str, mb):
+    """Map a batch dict onto TowerModel.__call__ positional args for each
+    processor family (the reference's per-trainer forward_propagation
+    signatures, trainer.py:196-521)."""
+    if form == "simple":
+        return (mb["src"], mb["tgt"], mb["seg"])
+    if form == "pair_sp":
+        return (mb["src"], {"mlm": mb["tgt_mlm"], "sp": mb["tgt_sp"]},
+                mb["seg"])
+    if form == "pair_cls":
+        return (mb["src"], {"mlm": mb["tgt_mlm"], "cls": mb["tgt_cls"]},
+                mb["seg"])
+    if form == "bilm":
+        return (mb["src"], (mb["tgt_fwd"], mb["tgt_bwd"]), mb["seg"])
+    if form == "seq2seq":
+        return (mb["src"], mb["tgt_out"], mb["seg"], mb["tgt_in"],
+                mb["tgt_seg"])
+    if form == "vilt":
+        return ((mb["src_text"], mb["src_image"]),
+                {"mlm": mb["tgt_mlm"], "sp": mb["tgt_match"]}, mb["seg"])
+    if form == "clip":
+        return ((mb["src_text"], mb["src_image"]), mb["tgt"],
+                (mb["seg_text"], mb["seg_image"]))
+    if form == "beit":
+        return ((mb["src_image"], mb["mask"]), mb["tgt"], mb["seg"])
+    raise KeyError(f"unknown batch form: {form}")
 
-        def loss_fn(params, mb):
-            out = model.apply({"params": params}, mb["src"], mb["tgt"],
-                              mb["seg"], deterministic=False,
-                              rngs={"dropout": mb["rng"]})
-            loss, correct, denom = _norm_target_out(out,
-                                                    mb["src"].shape[0])
+
+def make_pretrain_step_form(model: TowerModel, tx, accum: int = 1,
+                            form: str = "simple"):
+    """Grad-accumulated train step over a dict batch whose leaves are
+    (accum, micro_bs, ...) arrays; the micro-batch axis scans inside the
+    compiled program."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, rng, batch):
+        def loss_fn(params, mb, mrng):
+            out = model.apply({"params": params}, *form_args(form, mb),
+                              deterministic=False, rngs={"dropout": mrng})
+            rows = jax.tree.leaves(mb)[0].shape[0]
+            loss, correct, denom = _norm_target_out(out, rows)
             return loss, (correct, denom)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -58,15 +88,15 @@ def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
 
         def micro(carry, xs):
             gsum, lsum, csum, dsum = carry
-            mb = {"src": xs[0], "tgt": xs[1], "seg": xs[2], "rng": xs[3]}
+            mb, mrng = xs
             (loss, (correct, denom)), grads = grad_fn(
-                state.params["params"], mb)
+                state.params["params"], mb, mrng)
             gsum = jax.tree.map(jnp.add, gsum, grads)
             return (gsum, lsum + loss, csum + correct, dsum + denom), None
 
         zero = jax.tree.map(jnp.zeros_like, state.params["params"])
         (gsum, lsum, csum, dsum), _ = jax.lax.scan(
-            micro, (zero, 0.0, 0.0, 0.0), (src, tgt, seg, rngs))
+            micro, (zero, 0.0, 0.0, 0.0), (batch, rngs))
         grads = jax.tree.map(lambda g: g / accum, gsum)
         new_state = apply_updates(state, {"params": grads}, tx)
         metrics = {"loss": lsum / accum, "acc": csum / jnp.maximum(dsum, 1.0)}
@@ -75,12 +105,25 @@ def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
     return step
 
 
+def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
+    """Positional (src, tgt, seg) wrapper around the 'simple' form —
+    the original mlm/lm/cls/vit entry point."""
+    inner = make_pretrain_step_form(model, tx, accum, "simple")
+
+    def step(state: TrainState, rng, src, tgt, seg):
+        return inner(state, rng, {"src": src, "tgt": tgt, "seg": seg})
+
+    return step
+
+
 class PretrainTrainer:
     def __init__(self, cfg: Config, tower_cfg: TowerConfig,
-                 accumulation_steps: int = 1, use_mesh: bool = True):
+                 accumulation_steps: int = 1, use_mesh: bool = True,
+                 form: str = "simple"):
         self.cfg = cfg
         self.tower_cfg = tower_cfg
         self.accum = max(accumulation_steps, 1)
+        self.form = form
         self.logger = init_logger(cfg.log_path)
         self.metrics = MetricLogger(
             cfg.log_path + ".jsonl" if cfg.log_path else None)
@@ -95,17 +138,19 @@ class PretrainTrainer:
 
             return self.ctx.place_params(
                 load_tower_checkpoint(self.cfg.pretrained_model_path))
-        params = self.model.init(
-            jax.random.PRNGKey(self.cfg.seed), jnp.asarray(sample["src"]),
-            jnp.asarray(sample["tgt"]), jnp.asarray(sample["seg"]))
+        mb = {k: jnp.asarray(v) for k, v in sample.items()}
+        params = self.model.init(jax.random.PRNGKey(self.cfg.seed),
+                                 *form_args(self.form, mb))
         return self.ctx.place_params(params)
 
     def _fold(self, batch):
-        """(accum*micro, S) host batch -> (accum, micro, S) device arrays
-        with the micro-batch axis sharded over dp."""
+        """(accum*micro, ...) host batch -> (accum, micro, ...) device
+        arrays with the micro-batch axis sharded over dp."""
         out = {}
-        for k in ("src", "tgt", "seg"):
-            v = np.asarray(batch[k])
+        for k, v in batch.items():
+            if k.startswith("_"):
+                continue
+            v = np.asarray(v)
             v = v.reshape(self.accum, v.shape[0] // self.accum,
                           *v.shape[1:])
             if self.ctx.mesh is not None:
@@ -125,9 +170,10 @@ class PretrainTrainer:
         tx = build_optimizer(cfg.optim, total)
         first = next(iter(train_loader))
         micro = {k: v[: v.shape[0] // self.accum]
-                 for k, v in first.items()}
+                 for k, v in first.items() if not k.startswith("_")}
         state = init_state(self.init_params(micro), tx)
-        step_fn = make_pretrain_step(self.model, tx, self.accum)
+        step_fn = make_pretrain_step_form(self.model, tx, self.accum,
+                                          self.form)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
         step, best = 0, -np.inf
@@ -137,10 +183,11 @@ class PretrainTrainer:
             for batch in train_loader:
                 folded = self._fold(batch)
                 key, sub = jax.random.split(key)
-                state, m = step_fn(state, sub, folded["src"],
-                                   folded["tgt"], folded["seg"])
+                state, m = step_fn(state, sub, folded)
                 step += 1
-                tokens_since += int(np.prod(batch["src"].shape))
+                tok_key = next(k for k in ("src", "src_text", "src_image")
+                               if k in batch)
+                tokens_since += int(np.prod(batch[tok_key].shape[:2]))
                 if step % cfg.report_steps == 0:
                     loss, acc = float(m["loss"]), float(m["acc"])
                     dt = time.perf_counter() - t_last

@@ -1,0 +1,315 @@
+"""The 9 text pretraining data processors added in round 2 (reference
+tencentpretrain/utils/dataset.py:86-861 + dataloader.py:58-541): semantic
+unit tests per processor + end-to-end tiny-corpus pretraining with
+decreasing loss for one representative of each batch form."""
+
+import numpy as np
+import pytest
+
+from lr2ppo_tpu.data.pretrain_processors import (
+    CLS,
+    PAD,
+    SEP,
+    AlbertDocsDataset,
+    BartDocsDataset,
+    BertDocsDataset,
+    BilmCorpusDataset,
+    ClsMlmTsvDataset,
+    GsgDocsDataset,
+    MtTsvDataset,
+    PrefixlmTsvDataset,
+    T5CorpusDataset,
+)
+from lr2ppo_tpu.data.tokenizers import SpaceTokenizer
+
+MASK = 4
+VOCAB = 13  # 5 specials + a..h
+
+
+def _tok(tmp_path):
+    vp = tmp_path / "v.txt"
+    toks = ["<s>", "<pad>", "</s>", "<unk>", "<mask>"] + list("abcdefgh")
+    vp.write_text("".join(t + "\n" for t in toks))
+    return SpaceTokenizer(str(vp))
+
+
+def _docs_corpus(tmp_path, n_docs=6, sents=5):
+    p = tmp_path / "docs.txt"
+    rng = np.random.default_rng(0)
+    lines = []
+    letters = "abcdefgh"
+    for _ in range(n_docs):
+        for _ in range(sents):
+            n = int(rng.integers(3, 8))
+            lines.append(" ".join(rng.choice(list(letters), n)))
+        lines.append("")
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+# ---------------------------------------------------------------------------
+# per-processor semantics
+# ---------------------------------------------------------------------------
+
+def test_bert_instances(tmp_path):
+    ds = BertDocsDataset(_docs_corpus(tmp_path), _tok(tmp_path),
+                         seq_length=24, vocab_size=VOCAB, mask_id=MASK)
+    assert len(ds) > 0
+    labels = set()
+    for i in range(len(ds)):
+        it = ds.get(i)
+        assert it["src"].shape == (24,) and it["seg"].shape == (24,)
+        labels.add(int(it["tgt_sp"]))
+        # structure: [CLS] .. [SEP] (seg 1) then b .. [SEP] (seg 2)
+        assert it["src"][0] == CLS
+        n1 = int((it["seg"] == 1).sum())
+        assert it["seg"][0] == 1 and (it["seg"] == 2).any()
+        # mlm targets only on masked/real positions
+        sel = it["tgt_mlm"] > 0
+        assert (it["seg"][sel] > 0).all()
+        # unmasked positions carry the original token (src==tgt impossible
+        # to check without originals; check masked positions exist often)
+    assert labels == {0, 1}, "both NSP labels must occur"
+    # dynamic masking: new epoch -> different mask pattern somewhere
+    a = [ds.get(i)["src"].copy() for i in range(len(ds))]
+    ds.set_epoch(1)
+    b = [ds.get(i)["src"] for i in range(len(ds))]
+    assert any((x != y).any() for x, y in zip(a, b))
+
+
+def test_albert_swapped_order(tmp_path):
+    ds = AlbertDocsDataset(_docs_corpus(tmp_path), _tok(tmp_path),
+                           seq_length=24, vocab_size=VOCAB, mask_id=MASK)
+    assert len(ds) > 0
+    labels = {int(ds.get(i)["tgt_sp"]) for i in range(len(ds))}
+    assert labels == {0, 1}, "both SOP labels must occur"
+
+
+def test_cls_mlm_tsv(tmp_path):
+    tok = _tok(tmp_path)
+    tsv = tmp_path / "d.tsv"
+    tsv.write_text("0\ta b c\n1\td e f g\n1\tc d\te f\n")
+    ds = ClsMlmTsvDataset(str(tsv), tok, 16, VOCAB, MASK)
+    assert len(ds) == 3
+    assert int(ds.get(1)["tgt_cls"]) == 1
+    pair = ds.get(2)     # sentence-pair row gets seg 2 on text_b
+    assert (pair["seg"] == 2).any()
+
+
+def test_bilm_targets_shift_both_ways(tmp_path):
+    tok = _tok(tmp_path)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c d e f\n")
+    ds = BilmCorpusDataset(str(corpus), tok, seq_length=8)
+    it = ds.get(0)
+    ids = tok.encode("a b c d e f")
+    np.testing.assert_array_equal(it["src"][:6], ids)
+    np.testing.assert_array_equal(it["tgt_fwd"][:6], ids[1:] + [SEP])
+    np.testing.assert_array_equal(it["tgt_bwd"][:6], [CLS] + ids[:-1])
+    assert (it["tgt_fwd"][6:] == 0).all()  # padding excluded from loss
+
+
+def test_mt_pairs(tmp_path):
+    tok = _tok(tmp_path)
+    tsv = tmp_path / "mt.tsv"
+    tsv.write_text("a b c\td e\nf g\th a b\n")
+    ds = MtTsvDataset(str(tsv), tok, seq_length=8, tgt_seq_length=6)
+    assert len(ds) == 2
+    it = ds.get(0)
+    # decoder teacher forcing: tgt_out[j] == tgt_in[j+1] on real positions
+    real = it["tgt_seg"].astype(bool)
+    n = int(real.sum())
+    np.testing.assert_array_equal(it["tgt_in"][1:n],
+                                  it["tgt_out"][: n - 1])
+    assert it["tgt_in"][0] == CLS
+    assert it["src"][0] == CLS and (it["seg"] == 1).sum() == 5
+
+
+def test_t5_sentinel_structure(tmp_path):
+    tok = _tok(tmp_path)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c d e f g h\n" * 6)
+    ds = T5CorpusDataset(str(corpus), tok, seq_length=12, tgt_seq_length=12,
+                         vocab_size=VOCAB + 100, sentinel_start=VOCAB)
+    it = ds.get(0)
+    sent_src = it["src"][it["src"] >= VOCAB]
+    sent_tgt = it["tgt_in"][it["tgt_in"] >= VOCAB]
+    assert sent_src.size > 0, "at least one sentinel in the source"
+    # sentinels appear in increasing order in src
+    assert (np.diff(sent_src) > 0).all()
+    # decoder stream: [CLS] s0 span0 s1 span1 ... s_k [SEP]
+    assert it["tgt_in"][0] == CLS
+    assert sent_tgt.size == sent_src.size + 1
+    # corrupted tokens moved to the target, removed from source
+    masked_total = int((it["tgt_out"] >= 5).sum()) - sent_src.size
+    assert masked_total > 0
+    # different epoch -> different corruption
+    ds.set_epoch(3)
+    assert (ds.get(0)["src"] != it["src"]).any()
+
+
+def test_gsg_sentence_masking(tmp_path):
+    ds = GsgDocsDataset(_docs_corpus(tmp_path, n_docs=4, sents=6),
+                        _tok(tmp_path), seq_length=32, tgt_seq_length=24,
+                        mask_id=MASK, strategy="lead")
+    assert len(ds) > 0
+    it = ds.get(0)
+    assert (it["src"] == MASK).any(), "selected sentences become [MASK]"
+    assert int(it["tgt_seg"].sum()) > 2, "target holds the gap sentences"
+
+
+def test_bart_shuffle_and_infill(tmp_path):
+    ds = BartDocsDataset(_docs_corpus(tmp_path, n_docs=4, sents=6),
+                         _tok(tmp_path), seq_length=32, vocab_size=VOCAB,
+                         mask_id=MASK)
+    assert len(ds) > 0
+    it = ds.get(0)
+    # no two consecutive masks survive the span collapse
+    src = it["src"]
+    assert not ((src[:-1] == MASK) & (src[1:] == MASK)).any()
+    # the decoder reconstructs the unshuffled original (real tokens only)
+    real_out = it["tgt_out"][it["tgt_out"] > 0]
+    assert real_out.size > 4
+    ds.set_epoch(1)
+    assert (ds.get(0)["src"] != src).any()
+
+
+def test_prefixlm_alignment(tmp_path):
+    tok = _tok(tmp_path)
+    tsv = tmp_path / "p.tsv"
+    tsv.write_text("a b\tc d e\n")
+    ds = PrefixlmTsvDataset(str(tsv), tok, seq_length=12)
+    it = ds.get(0)
+    # src = [CLS] a b [SEP] c d e [SEP]; seg = 1 1 1 1 2 2 2 2
+    np.testing.assert_array_equal(it["seg"][:8], [1, 1, 1, 1, 2, 2, 2, 2])
+    # position 3 (the [SEP]) predicts 'c'; next-token alignment after it
+    c, d, e = tok.encode("c d e")
+    np.testing.assert_array_equal(it["tgt"][3:7], [c, d, e, SEP])
+    assert (it["tgt"][:3] == 0).all() and (it["tgt"][7:] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: one representative per batch form trains with falling loss
+# ---------------------------------------------------------------------------
+
+def _e2e(ds, form, tower_kw, steps=25):
+    import jax
+
+    from lr2ppo_tpu.data.pipeline import Loader
+    from lr2ppo_tpu.towers import TowerConfig, build_model
+    from lr2ppo_tpu.train.common import init_state
+    from lr2ppo_tpu.train.optim import build_optimizer
+    from lr2ppo_tpu.train.pretrain import form_args, make_pretrain_step_form
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.config import Config
+
+    cfg = TowerConfig.from_dict(dict(
+        emb_size=32, hidden_size=32, feedforward_size=64, heads_num=4,
+        layers_num=1, max_seq_length=64, dropout=0.0, **tower_kw))
+    model = build_model(cfg)
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=0, num_workers=2)
+    first = next(iter(loader))
+    mb = {k: jnp.asarray(v)[None] for k, v in first.items()
+          if not k.startswith("_")}
+    params = model.init(jax.random.PRNGKey(0),
+                        *form_args(form, {k: v[0] for k, v in mb.items()}))
+    opt_cfg = Config().optim
+    opt_cfg.learning_rate = 3e-3
+    tx = build_optimizer(opt_cfg, steps + 1)
+    state = init_state(params, tx)
+    step = make_pretrain_step_form(model, tx, accum=1, form=form)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    done = 0
+    while done < steps:
+        for batch in loader:
+            b = {k: jnp.asarray(np.asarray(v))[None]
+                 for k, v in batch.items() if not k.startswith("_")}
+            key, sub = jax.random.split(key)
+            state, m = step(state, sub, b)
+            losses.append(float(m["loss"]))
+            done += 1
+            if done >= steps:
+                break
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), (
+        f"loss did not fall: {losses[:3]} -> {losses[-3:]}")
+
+
+@pytest.mark.slow
+def test_e2e_bert_pair_sp(tmp_path):
+    ds = BertDocsDataset(_docs_corpus(tmp_path, n_docs=8),
+                         _tok(tmp_path), 24, VOCAB, MASK, dup_factor=2)
+    _e2e(ds, "pair_sp", dict(vocab_size=VOCAB,
+                             embedding=["word", "pos", "seg"],
+                             encoder="transformer", mask="fully_visible",
+                             target=["mlm", "sp"]))
+
+
+@pytest.mark.slow
+def test_e2e_cls_mlm(tmp_path):
+    tok = _tok(tmp_path)
+    tsv = tmp_path / "d.tsv"
+    rng = np.random.default_rng(1)
+    rows = []
+    for _ in range(32):
+        lab = int(rng.integers(0, 2))
+        text = " ".join(rng.choice(list("abcd" if lab else "efgh"), 6))
+        rows.append(f"{lab}\t{text}")
+    tsv.write_text("\n".join(rows) + "\n")
+    ds = ClsMlmTsvDataset(str(tsv), tok, 16, VOCAB, MASK)
+    _e2e(ds, "pair_cls", dict(vocab_size=VOCAB,
+                              embedding=["word", "pos"],
+                              encoder="transformer", mask="fully_visible",
+                              target=["mlm", "cls"], labels_num=2,
+                              pooling="first"))
+
+
+@pytest.mark.slow
+def test_e2e_bilm(tmp_path):
+    tok = _tok(tmp_path)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c d e f g h\n" * 12)
+    ds = BilmCorpusDataset(str(corpus), tok, seq_length=8)
+    _e2e(ds, "bilm", dict(vocab_size=VOCAB, embedding=["word"],
+                          encoder="bilstm", target=["bilm"]))
+
+
+@pytest.mark.slow
+def test_e2e_t5_seq2seq(tmp_path):
+    tok = _tok(tmp_path)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c d e f g h\n" * 12)
+    ds = T5CorpusDataset(str(corpus), tok, 12, 12, VOCAB + 100,
+                         sentinel_start=VOCAB)
+    _e2e(ds, "seq2seq", dict(vocab_size=VOCAB + 100,
+                             embedding=["word", "pos"],
+                             encoder="transformer", mask="fully_visible",
+                             decoder="transformer", target=["lm"]))
+
+
+@pytest.mark.slow
+def test_e2e_prefixlm(tmp_path):
+    tok = _tok(tmp_path)
+    tsv = tmp_path / "p.tsv"
+    rng = np.random.default_rng(2)
+    rows = []
+    for _ in range(24):
+        a = " ".join(rng.choice(list("abcd"), 3))
+        b = " ".join(rng.choice(list("efgh"), 3))
+        rows.append(f"{a}\t{b}")
+    tsv.write_text("\n".join(rows) + "\n")
+    ds = PrefixlmTsvDataset(str(tsv), tok, seq_length=12)
+    _e2e(ds, "simple", dict(vocab_size=VOCAB,
+                            embedding=["word", "pos", "seg"],
+                            encoder="transformer",
+                            mask="causal_with_prefix", target=["lm"]))
+
+
+def test_cli_registry_covers_new_processors():
+    from lr2ppo_tpu.cli.pretrain import str2dataset, str2form
+
+    for k in ("bert", "albert", "cls_mlm", "bilm", "mt", "t5", "gsg",
+              "bart", "prefixlm"):
+        assert k in str2dataset and k in str2form
