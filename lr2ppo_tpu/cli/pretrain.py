@@ -19,16 +19,21 @@ from lr2ppo_tpu.data.pretrain_data import (
     LmCorpusDataset,
     MlmCorpusDataset,
 )
+from lr2ppo_tpu.data.pretrain_data import ClipPairDataset, VitImageDataset
 from lr2ppo_tpu.data.pretrain_processors import (
     AlbertDocsDataset,
     BartDocsDataset,
+    BeitImageDataset,
     BertDocsDataset,
     BilmCorpusDataset,
     ClsMlmTsvDataset,
+    DalleDataset,
     GsgDocsDataset,
     MtTsvDataset,
     PrefixlmTsvDataset,
+    S2tDataset,
     T5CorpusDataset,
+    ViltPairsDataset,
 )
 from lr2ppo_tpu.data.tokenizers import str2tokenizer
 from lr2ppo_tpu.towers.model import TowerConfig
@@ -78,7 +83,46 @@ str2dataset = {
         seed=args.seed),
     "prefixlm": lambda path, tok, args, cfg: PrefixlmTsvDataset(
         path, tok, args.seq_length),
+    # vision / audio processors: corpora are tsv manifests of
+    # (label|text|transcript, file path) per the reference
+    # FileWithLabel/FileWithText/File dataset formats
+    "vit": lambda path, tok, args, cfg: VitImageDataset(
+        [(p, int(lbl)) for lbl, p in _read_tsv(path)],
+        cfg.image_height, cfg.image_width, cfg.patch_size),
+    "clip": lambda path, tok, args, cfg: ClipPairDataset(
+        _read_tsv(path), tok, args.seq_length,
+        cfg.image_height, cfg.image_width, cfg.patch_size),
+    "vilt": lambda path, tok, args, cfg: ViltPairsDataset(
+        _read_tsv(path), tok, args.seq_length, cfg.vocab_size,
+        _mask_id(tok), cfg.image_height, cfg.image_width,
+        cfg.patch_size, seed=args.seed),
+    "s2t": lambda path, tok, args, cfg: S2tDataset(
+        path, tok, args.tgt_seq_length, args.max_audio_frames),
+    "beit": lambda path, tok, args, cfg: BeitImageDataset(
+        [l[0] for l in _read_tsv(path, n=1)], _image_tok(args),
+        cfg.image_height, cfg.image_width, cfg.patch_size,
+        seed=args.seed),
+    "dalle": lambda path, tok, args, cfg: DalleDataset(
+        _read_tsv(path), tok, _image_tok(args), args.seq_length,
+        vocab_bias=len(tok.vocab)),
 }
+
+
+def _read_tsv(path, n=2):
+    rows = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= n:
+                rows.append(tuple(parts[:n]) if n > 1 else (parts[0],))
+    return rows
+
+
+def _image_tok(args):
+    from lr2ppo_tpu.data.tokenizers import ImageTokenizer
+
+    return ImageTokenizer(vqgan_model_path=args.vqgan_model_path,
+                          seed=args.seed)
 
 # data_processor -> train-step batch form (train/pretrain.py form_args)
 str2form = {
@@ -88,6 +132,8 @@ str2form = {
     "cls_mlm": "pair_cls",
     "bilm": "bilm",
     "mt": "seq2seq", "t5": "seq2seq", "gsg": "seq2seq", "bart": "seq2seq",
+    "vit": "simple", "clip": "clip", "vilt": "vilt", "s2t": "seq2seq",
+    "beit": "beit", "dalle": "simple",
 }
 
 
@@ -116,6 +162,10 @@ def main(argv=None):
                    help="first T5 sentinel id (default: len(vocab))")
     p.add_argument("--sentence_selection_strategy", default="random",
                    choices=["random", "lead"])
+    p.add_argument("--vqgan_model_path", default=None,
+                   help="taming VQModel checkpoint for beit/dalle "
+                        "(random-weight tokenizer without it)")
+    p.add_argument("--max_audio_frames", type=int, default=256)
     p.add_argument("--total_steps", type=int, default=None)
     p.add_argument("--epochs_num", type=int, default=1)
     p.add_argument("--report_steps", type=int, default=100)
@@ -135,11 +185,22 @@ def main(argv=None):
     else:
         tok = str2tokenizer[args.tokenizer](args.vocab_path)
 
-    # T5 sentinels live past the vocab end; grow the embedding to fit
-    extra_vocab = (100 if args.data_processor == "t5"
-                   and args.sentinel_start is None else 0)
+    # T5 sentinels / DALL-E image tokens live past the vocab end; grow
+    # the embedding to fit
+    extra_vocab = 0
+    if args.data_processor == "t5" and args.sentinel_start is None:
+        extra_vocab = 100
+    elif args.data_processor == "dalle":
+        from lr2ppo_tpu.towers.vqgan import VQGANConfig
+
+        extra_vocab = VQGANConfig().n_embed
+    vocab_size = max(len(tok.vocab), 1) + extra_vocab
+    if args.data_processor == "beit":  # mlm head over the image codebook
+        from lr2ppo_tpu.towers.vqgan import VQGANConfig
+
+        vocab_size = VQGANConfig().n_embed
     tower_cfg = TowerConfig.from_json(
-        args.tower_config, vocab_size=max(len(tok.vocab), 1) + extra_vocab,
+        args.tower_config, vocab_size=vocab_size,
         max_seq_length=max(args.seq_length,
                            TowerConfig().max_seq_length))
     ds = str2dataset[args.data_processor](args.corpus_path, tok, args,

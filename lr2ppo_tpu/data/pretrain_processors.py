@@ -598,3 +598,290 @@ class BartDocsDataset:
         item = _seq2seq_item(src_c, [CLS] + tgt_ids + [SEP],
                              self.seq_length, self.seq_length)
         return item
+
+
+class ViltPairsDataset:
+    """ViLT processor (dataset.py:953 + dataloader.py:606-673): (text,
+    image) pairs; per (epoch, item) the text is MLM-masked and with
+    p=0.5 the image is swapped for a random other image (tgt_match=0).
+    tgt_mlm spans the concatenated text+patch sequence (zeros over the
+    image region); seg is 1/0 on text and 2 on the patch tokens."""
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]], tokenizer,
+                 seq_length: int, vocab_size: int, mask_id: int,
+                 image_height: int = 224, image_width: int = 224,
+                 patch_size: int = 16, seed: int = 7,
+                 mlm_prob: float = 0.15, special_limit: int = 5):
+        self.pairs = list(pairs)          # [(text, image_path), ...]
+        self.seq_length = seq_length
+        self.vocab_size = vocab_size
+        self.mask_id = mask_id
+        self.h, self.w = image_height, image_width
+        self.img_seq = (image_height // patch_size) * (
+            image_width // patch_size) + 1
+        self.seed = seed
+        self.epoch = 0
+        self.mlm_prob = mlm_prob
+        self.special_limit = special_limit
+        self.texts = []
+        for text, _ in self.pairs:
+            ids = [CLS] + tokenizer.encode(text)[: seq_length - 2] + [SEP]
+            src = np.full(seq_length, PAD, np.int32)
+            seg = np.zeros(seq_length, np.int32)
+            src[: len(ids)] = ids
+            seg[: len(ids)] = 1
+            self.texts.append((src, seg))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _pixels(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB").resize((self.w, self.h))
+        return (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
+        src, seg_text = self.texts[i]
+        masked, tgt_text = mask_tokens(
+            src, seg_text, self.vocab_size, self.mask_id, rng,
+            self.mlm_prob, special_limit=self.special_limit)
+        if rng.random() < 0.5 or len(self.pairs) == 1:
+            match, path = 1, self.pairs[i][1]
+        else:
+            j = int(rng.integers(0, len(self.pairs)))
+            match, path = int(j == i), self.pairs[j][1]
+        tgt_mlm = np.concatenate(
+            [tgt_text, np.zeros(self.img_seq, np.int32)])
+        seg = np.concatenate(
+            [seg_text, np.full(self.img_seq, 2, np.int32)])
+        return {"src_text": masked, "src_image": self._pixels(path),
+                "tgt_mlm": tgt_mlm, "tgt_match": np.int32(match),
+                "seg": seg}
+
+
+def logmel_fbank(waveform: np.ndarray, sample_rate: int = 16000,
+                 n_mels: int = 80, frame_ms: float = 25.0,
+                 shift_ms: float = 10.0, preemph: float = 0.97
+                 ) -> np.ndarray:
+    """Kaldi-style log-mel filterbank in pure numpy (replaces the
+    reference's torchaudio.compliance.kaldi.fbank, dataloader.py:794).
+    Returns (frames, n_mels) float32."""
+    win = int(sample_rate * frame_ms / 1000)
+    hop = int(sample_rate * shift_ms / 1000)
+    x = np.asarray(waveform, np.float64)
+    if x.ndim > 1:
+        x = x[0]
+    n_frames = max(1 + (len(x) - win) // hop, 0)
+    if n_frames == 0:
+        return np.zeros((0, n_mels), np.float32)
+    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx]
+    frames = frames - preemph * np.concatenate(
+        [frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames * np.hamming(win)
+    nfft = 1 << (win - 1).bit_length()
+    spec = np.abs(np.fft.rfft(frames, nfft)) ** 2
+    # mel filter bank
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(hz2mel(20.0), hz2mel(sample_rate / 2),
+                          n_mels + 2)
+    bins = np.floor((nfft + 1) * mel2hz(mel_pts) / sample_rate).astype(int)
+    fb = np.zeros((n_mels, nfft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        l, c, r = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(l, c):
+            fb[m - 1, k] = (k - l) / max(c - l, 1)
+        for k in range(c, r):
+            fb[m - 1, k] = (r - k) / max(r - c, 1)
+    feat = np.log(np.maximum(spec @ fb.T, 1e-10))
+    return feat.astype(np.float32)
+
+
+def utterance_cmvn(feat: np.ndarray, norm_means: bool = True,
+                   norm_vars: bool = True) -> np.ndarray:
+    """Per-utterance cepstral mean/variance normalization
+    (dataloader.py:746-760). float64 internally: the reference's
+    E[x^2]-mean^2 form catastrophically cancels in float32 on
+    near-constant bins."""
+    out = np.asarray(feat, np.float64)
+    mean = out.mean(axis=0)
+    if norm_means:
+        out = out - mean
+    if norm_vars:
+        var = (np.asarray(feat, np.float64) ** 2).sum(axis=0) \
+            / max(len(feat), 1) - mean ** 2
+        out = out / np.sqrt(np.maximum(var, 1e-10))
+    return out.astype(np.float32)
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Load a PCM wav via the stdlib (the torchaudio.load equivalent for
+    the 16-bit mono/stereo files the recipe uses)."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+    x = np.frombuffer(raw, dtype).astype(np.float32)
+    x /= float(np.iinfo(dtype).max)
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+class S2tDataset:
+    """Speech-to-text processor (dataset.py:961 + dataloader.py:763-822):
+    tsv rows 'transcript<TAB>wav_path' -> log-mel fbank (CMVN'd, padded
+    to max_audio_frames) + the shifted decoder text stream. seg marks
+    the conv-subsampled frame count (the speech embedding downsamples by
+    2 per conv layer)."""
+
+    def __init__(self, tsv_path: str, tokenizer, tgt_seq_length: int,
+                 max_audio_frames: int = 256, n_mels: int = 80,
+                 conv_layers: int = 2, sample_rate: int = 16000):
+        self.items = []
+        sub = 2 ** conv_layers
+        for line in open(tsv_path, encoding="utf-8"):
+            parts = line.strip().split("\t")
+            if len(parts) != 2:
+                continue
+            text, wav = parts
+            x, rate = read_wav(wav)
+            feat = utterance_cmvn(logmel_fbank(
+                x * (2 ** 15), rate, n_mels))
+            if feat.shape[0] > max_audio_frames or feat.shape[0] == 0:
+                continue
+            audio = np.zeros((max_audio_frames, n_mels), np.float32)
+            audio[: feat.shape[0]] = feat
+            seg = np.zeros(max_audio_frames // sub, np.int32)
+            seg[: max(feat.shape[0] // sub, 1)] = 1
+            item = _seq2seq_item([], [CLS] + tokenizer.encode(text)
+                                 + [SEP], 1, tgt_seq_length)
+            item["src"], item["seg"] = audio, seg
+            self.items.append(item)
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        return self.items[i]
+
+
+class BeitImageDataset:
+    """BEiT processor (dataset.py:965 + dataloader.py:825-886): VQGAN
+    tokens of each image become MLM targets on a fixed count of masked
+    patch positions; the model sees pixels with those patches replaced by
+    a learned mask embedding (towers/embeddings.py MaskedPatchEmbedding).
+    `image_tok` is a data/tokenizers.ImageTokenizer (weight-loadable
+    VQGAN; random weights without a checkpoint)."""
+
+    def __init__(self, paths: Sequence[str], image_tok,
+                 image_height: int = 224, image_width: int = 224,
+                 patch_size: int = 16, mask_rate: float = 0.15,
+                 seed: int = 7):
+        self.paths = list(paths)
+        self.tok = image_tok
+        self.h, self.w = image_height, image_width
+        self.seq = (image_height // patch_size) * (
+            image_width // patch_size) + 1
+        self.n_mask = max(int((self.seq - 1) * mask_rate), 1)
+        self.seed = seed
+        self.epoch = 0
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _pixels(self, path):
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB").resize(
+            (self.tok.cfg.resolution, self.tok.cfg.resolution))
+        return (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
+        if i not in self._cache:
+            pixels = self._pixels(self.paths[i])
+            self._cache[i] = self.tok.tokenize_images(pixels[None])[0]
+        tokens = np.concatenate([[0], self._cache[i]])[: self.seq]
+        mask = rng.choice(np.arange(1, self.seq), self.n_mask,
+                          replace=False).astype(np.int32)
+        tgt = np.zeros(self.seq, np.int32)
+        tgt[mask] = tokens[mask]
+        # model input is (h, w) of the *model*, not the vqgan grid
+        from PIL import Image
+
+        img = Image.open(self.paths[i]).convert("RGB").resize(
+            (self.w, self.h))
+        model_pixels = (np.asarray(img, np.float32) / 255.0
+                        ).transpose(2, 0, 1)
+        return {"src_image": model_pixels, "mask": mask, "tgt": tgt,
+                "seg": np.ones(self.seq, np.int32)}
+
+
+class DalleDataset:
+    """DALL-E processor (dataset.py:969 + dataloader.py:889-933): causal
+    LM over [CLS] text [SEP] ++ (vqgan tokens + vocab_bias); seg 1 on
+    text, 2 on image tokens."""
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]], tokenizer,
+                 image_tok, text_seq_length: int, vocab_bias: int):
+        self.pairs = list(pairs)
+        self.tok = tokenizer
+        self.image_tok = image_tok
+        self.text_len = text_seq_length
+        self.bias = vocab_bias
+        self.n_img = image_tok.cfg.tokens_per_image
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        text, path = self.pairs[i]
+        if i not in self._cache:
+            from PIL import Image
+
+            r = self.image_tok.cfg.resolution
+            img = Image.open(path).convert("RGB").resize((r, r))
+            px = (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+            self._cache[i] = self.image_tok.tokenize_images(px[None])[0]
+        ids = [CLS] + self.tok.encode(text)[: self.text_len - 2] + [SEP]
+        S = self.text_len + self.n_img
+        src = np.full(S, PAD, np.int32)
+        seg = np.zeros(S, np.int32)
+        src[: len(ids)] = ids
+        seg[: len(ids)] = 1
+        src[self.text_len:] = self._cache[i] + self.bias
+        seg[self.text_len:] = 2
+        tgt = np.zeros(S, np.int32)
+        tgt[: S - 1] = src[1:]
+        tgt[S - 1] = SEP
+        tgt[np.concatenate([seg[1:], [0]]) == 0] = 0  # pad region excluded
+        return {"src": src, "tgt": tgt, "seg": seg}

@@ -343,19 +343,32 @@ class VirtualTokenizer(BaseTokenizer):
 
 
 class ImageTokenizer(BaseTokenizer):
-    """VQGAN image tokenizer (tokenizers.py:583-589). The vqgan weights
-    and runtime are not shipped in this image; this stub keeps the
-    registry complete and raises on use."""
+    """VQGAN image tokenizer (tokenizers.py:583-589), backed by the flax
+    VQModel encode path in towers/vqgan.py. Pass `vqgan_model_path` (a
+    published taming checkpoint) for real tokens; without it the encoder
+    runs with random weights (deterministic per seed), which keeps the
+    beit/dalle pipelines runnable end-to-end."""
 
-    def __init__(self, *a, image_vocab_size: int = 8192, **kw):
+    def __init__(self, *a, vqgan_model_path: Optional[str] = None,
+                 vqgan_config: Optional[dict] = None, seed: int = 0, **kw):
+        from lr2ppo_tpu.towers.vqgan import VQGANConfig, make_image_tokenizer
+
         super().__init__(None, None)
-        self.vocab = {f"<img_{i}>": i for i in range(image_vocab_size)}
+        cfg = VQGANConfig(**(vqgan_config or {}))
+        self._tokenize_pixels, self.cfg = make_image_tokenizer(
+            cfg, vqgan_model_path, seed)
+        self.vocab = {f"<img_{i}>": i for i in range(cfg.n_embed)}
         self.inv_vocab = {v: k for k, v in self.vocab.items()}
 
+    def tokenize_images(self, pixels01) -> "np.ndarray":
+        """(B, C, H, W) floats in [0,1] -> (B, N) int codebook ids."""
+        import numpy as np
+
+        return np.asarray(self._tokenize_pixels(pixels01))
+
     def tokenize(self, text, use_vocab=True):
-        raise NotImplementedError(
-            "vqgan image tokenization requires the vqgan checkpoint; "
-            "precomputed-feature pipelines (clean_feat.h5) do not use it")
+        raise TypeError("ImageTokenizer tokenizes images, not text; "
+                        "use tokenize_images(pixels)")
 
 
 class TextImageTokenizer(BertTokenizer):

@@ -115,7 +115,10 @@ class PatchEmbedding(nn.Module):
         # (C*P*P, E) with (c, ph, pw) ordering, so imports are transposes
         kernel = self.param("projection", jax.nn.initializers.normal(0.02),
                             (c * p * p, e), jnp.float32)
-        cls_emb = self.param("cls_emb", jax.nn.initializers.zeros,
+        # normal, not zeros: the reference trainer re-inits every
+        # non-gamma/beta param with normal(0, 0.02) before pretraining,
+        # and an exactly-zero row NaNs the RefLayerNorm std backward
+        cls_emb = self.param("cls_emb", jax.nn.initializers.normal(0.02),
                              (1, 1, e), jnp.float32)
         x = src.reshape(b, c, gh, p, gw, p)
         x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(b, gh * gw,
@@ -166,7 +169,7 @@ class MaskedPatchEmbedding(nn.Module):
         emb = PatchEmbedding(self.emb_size, self.image_height,
                              self.image_width, self.patch_size,
                              self.channels_num, name="patch")(pixels, seg)
-        mask_emb = self.param("mask_emb", jax.nn.initializers.zeros,
+        mask_emb = self.param("mask_emb", jax.nn.initializers.normal(0.02),
                               (1, self.emb_size), jnp.float32)
         b, s, e = emb.shape
         onehot = jax.nn.one_hot(mask, s, dtype=emb.dtype)   # (B, M, S)
@@ -187,8 +190,8 @@ class SpeechEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, src: Array, seg: Array) -> Array:
-        x = src  # (B, frames, in_dim)
-        dim = self.in_dim
+        x = src  # (B, frames, n_mels)
+        dim = x.shape[-1]  # feature width from the data, not a config pin
         for i in range(self.conv_layers):
             k, stride, out = self.kernel_size, 2, 2 * self.emb_size
             b, s, _ = x.shape

@@ -54,7 +54,11 @@ class RefLayerNorm(nn.Module):
         xf = x.astype(jnp.float32)
         mean = xf.mean(-1, keepdims=True)
         var = xf.var(-1, keepdims=True) * (d / max(d - 1, 1))  # unbiased
-        std = jnp.sqrt(var)
+        # sqrt clamped away from 0: d(sqrt)/dvar at var=0 is inf, and a
+        # constant row (zero-padded audio frames, padding tokens) then
+        # NaNs the whole backward as 0*inf. Forward is bit-identical for
+        # var >= 1e-20.
+        std = jnp.sqrt(jnp.maximum(var, 1e-20))
         out = gamma * (xf - mean) / (std + self.eps) + beta
         return out.astype(self.dtype or x.dtype)
 

@@ -48,6 +48,10 @@ class TowerConfig:
     embedding: List[str] = field(default_factory=lambda: ["word", "pos", "seg"])
     encoder: str = "transformer"
     decoder: Optional[str] = None
+    # decoder-side embedding kinds (reference model_builder.py builds the
+    # tgt embedding from args.tgt_embedding); None -> same as `embedding`.
+    # s2t needs this: speech encoder embedding, word decoder embedding.
+    tgt_embedding: Optional[List[str]] = None
     target: List[str] = field(default_factory=lambda: ["mlm"])
     mask: str = "fully_visible"
     layernorm_positioning: str = "post"
@@ -98,6 +102,8 @@ class TowerConfig:
         kw = {k: v for k, v in raw.items() if k in names}
         if isinstance(kw.get("embedding"), str):
             kw["embedding"] = [kw["embedding"]]
+        if isinstance(kw.get("tgt_embedding"), str):
+            kw["tgt_embedding"] = [kw["tgt_embedding"]]
         if isinstance(kw.get("target"), str):
             kw["target"] = [kw["target"]]
         cfg = cls(**kw)
@@ -189,7 +195,10 @@ class TowerModel(nn.Module):
             self.embedding = CompositeEmbedding(self.cfg)
         self.encoder = build_encoder(self.cfg, self.dtype)
         if self.cfg.decoder:
-            self.tgt_embedding = CompositeEmbedding(self.cfg)
+            tgt_cfg = (dataclasses.replace(
+                self.cfg, embedding=self.cfg.tgt_embedding)
+                if self.cfg.tgt_embedding else self.cfg)
+            self.tgt_embedding = CompositeEmbedding(tgt_cfg)
             self.decoder_mod = TransformerDecoder(self.cfg, self.dtype)
         self.target = CompositeTarget(self.cfg, self.dtype)
 
