@@ -89,8 +89,17 @@ class DataConfig:
     embed_root: str = "LRMovieNet"   # dir holding clean_feat.h5 (ppo.py:65-66)
     max_tags: int = 32               # per-stage sampling width
     max_imgs: int = 16
-    num_workers: int = 8             # host prefetch threads
+    num_workers: int = 8             # host prefetch workers
     prefetch_depth: int = 2          # double buffering
+    loader: str = "auto"             # 'process' (shared-memory workers,
+    #                                  sidesteps the GIL + h5py lock),
+    #                                  'thread' (in-process pool), or
+    #                                  'auto' (process iff >=4 cores)
+    preload: str = "auto"            # cache embeddings in host RAM:
+    #                                  'auto' (when they fit), 'always',
+    #                                  'never'
+    item_dtype: str = "bfloat16"     # float dtype items are emitted at;
+    #                                  bf16 halves collate/H2D/buffer bytes
     eval_tag_buckets: List[int] = field(default_factory=lambda: [8, 16, 32, 64, 128])
     use_native_loader: bool = True   # C++ LETOR parser when available
 
@@ -125,6 +134,10 @@ class PPOConfig:
     value_clip: float = 0.5
     rank_margin: float = 0.01        # RankLoss(0.01) (ppo.py:559)
     advantage_eps: float = -0.1      # flip threshold (ppo.py:562)
+    # keep the memory buffer's batches device-resident when a full
+    # sweep's worth fits under this budget: the sweep then re-uploads
+    # nothing (vs the reference keeping them on GPU, ppo.py:882-883)
+    device_memory_gb: float = 4.0
 
 
 @dataclass

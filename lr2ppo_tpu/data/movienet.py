@@ -55,11 +55,20 @@ class MovieNetDataset:
     def __init__(self, json_path: str, h5_path: str, mode: str,
                  max_tags: int = 32, max_imgs: int = 16,
                  seed: int = 0, data: Optional[list] = None,
-                 h5_file=None):
+                 h5_file=None, item_dtype=np.float32,
+                 preload: bool = False):
         assert mode in ("pointwise", "reward", "reward_eval", "ppo", "eval")
         self.mode = mode
         self.max_imgs = max_imgs
+        # emit floats at this dtype per item: bfloat16 halves collate
+        # memcpy, host RAM (the PPO memory buffer), and H2D bytes, and
+        # the trainers cast to the compute dtype anyway (common.py)
+        self.item_dtype = np.dtype(item_dtype)
+        self.seed = seed
+        self.epoch = 0
         self.rng = np.random.default_rng(seed)
+        self._ram: Optional[Dict[str, tuple]] = None
+        self._want_preload = preload
         if data is None:
             with open(json_path) as f:
                 data = json.load(f)
@@ -125,6 +134,39 @@ class MovieNetDataset:
             idx.append(add[i % len(add)] if add else i % t)
         return idx
 
+    def reset_handles(self) -> None:
+        """Drop inherited HDF5 handles (called by ProcessLoader workers
+        right after fork — handles do not survive it)."""
+        if self._h5_local is not None:
+            import threading
+
+            self._h5_local = threading.local()
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseeds the per-item image shuffle (the reference reshuffles
+        every __getitem__ via global RNG, ppo.py:125-138; here it is
+        deterministic per (epoch, item) so re-fetches are exact)."""
+        self.epoch = epoch
+
+    def preload(self) -> "MovieNetDataset":
+        """Cache every item's embeddings in RAM at item_dtype. On this
+        class of host (single core, 125 GB RAM) the h5 read + dtype
+        convert per item IS the input bottleneck; a one-time pass turns
+        `get` into pure slicing + one memcpy."""
+        if self._ram is None:
+            ram: Dict[str, tuple] = {}
+            h5 = self.h5
+            for iid in self.targets_of:
+                grp = h5[str(iid)]
+                text = np.asarray(grp["text_emb"][:]).astype(
+                    self.item_dtype, copy=False)
+                img = np.asarray(grp["img_emb"][:])[0].astype(
+                    self.item_dtype, copy=False)
+                ram[iid] = (np.ascontiguousarray(text),
+                            np.ascontiguousarray(img))
+            self._ram = ram
+        return self
+
     @property
     def h5(self):
         if self._h5_shared is not None:
@@ -141,23 +183,36 @@ class MovieNetDataset:
         return len(self.examples)
 
     def get(self, i: int) -> Dict[str, np.ndarray]:
+        if self._want_preload and self._ram is None:
+            self.preload()
         iid, tag_index, ch, rj = self.examples[i]
-        grp = self.h5[str(iid)]
-        # partial-row read: a 2-tag PPO sample must not pull the whole
-        # (tags, 196, 768) matrix (~12MB) off disk to use 2 rows — this
-        # was a 100x host-pipeline bottleneck at real LRMovieNet shapes.
-        # h5py fancy selection needs increasing unique indices.
+        # deterministic per (epoch, item): re-fetching an item yields the
+        # same tensors (lets PPO re-materialize sweep batches exactly)
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
         idx = np.asarray(tag_index)
-        if (len(idx) == grp["text_emb"].shape[0]
-                and np.array_equal(idx, np.arange(len(idx)))):
-            text = np.asarray(grp["text_emb"][:], dtype=np.float32)
+        dt = self.item_dtype
+        if self._ram is not None:
+            text_all, img_all = self._ram[iid]
+            text = text_all[idx]
+            img_all = img_all
         else:
-            uniq, inverse = np.unique(idx, return_inverse=True)
-            rows = np.asarray(grp["text_emb"][uniq.tolist()],
-                              dtype=np.float32)
-            text = rows[inverse]
-        img_all = np.asarray(grp["img_emb"][:], dtype=np.float32)[0]
-        img = _pad_images(img_all, self.max_imgs, self.rng)
+            grp = self.h5[str(iid)]
+            # partial-row read: a 2-tag PPO sample must not pull the whole
+            # (tags, 196, 768) matrix (~12MB) off disk to use 2 rows —
+            # this was a 100x host-pipeline bottleneck at real LRMovieNet
+            # shapes. h5py fancy selection needs increasing unique indices.
+            if (len(idx) == grp["text_emb"].shape[0]
+                    and np.array_equal(idx, np.arange(len(idx)))):
+                text = np.asarray(grp["text_emb"][:]).astype(dt, copy=False)
+            else:
+                uniq, inverse = np.unique(idx, return_inverse=True)
+                rows = np.asarray(grp["text_emb"][uniq.tolist()]).astype(
+                    dt, copy=False)
+                text = rows[inverse]
+            img_all = np.asarray(grp["img_emb"][:])[0].astype(dt,
+                                                             copy=False)
+        img = _pad_images(img_all, self.max_imgs, rng)
         tgts = np.asarray(
             [self.targets_of[iid][j] for j in tag_index], dtype=np.int32)
         out = {"text": text, "img": img, "tgts": tgts}

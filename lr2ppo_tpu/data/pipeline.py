@@ -78,6 +78,10 @@ class Loader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # propagate: datasets with per-epoch state (dynamic masking,
+        # image-shuffle rng) reseed on it
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -180,7 +184,10 @@ class Loader:
                 yield item
         finally:
             stop.set()
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass  # interpreter teardown: queue module may be gone
 
 
 class EvalLoader:
@@ -237,3 +244,161 @@ class EvalLoader:
             t = bucket
         out["mask"] = np.arange(bucket) < t
         return out
+
+
+def _proc_worker(ds, specs, slot_names, bs, task_q, done_q):
+    """Worker process: fill shared-memory batch slots directly from the
+    dataset (no multi-MB pickles through a pipe)."""
+    from multiprocessing import shared_memory
+
+    if hasattr(ds, "reset_handles"):
+        ds.reset_handles()          # h5py handles do not survive fork
+    shms, views = [], []
+    for names in slot_names:
+        shm_map, view_map = {}, {}
+        for key, (shape, dtype) in specs.items():
+            shm = shared_memory.SharedMemory(name=names[key])
+            shm_map[key] = shm
+            view_map[key] = np.ndarray((bs,) + shape, dtype, buffer=shm.buf)
+        shms.append(shm_map)
+        views.append(view_map)
+    n = len(ds)
+    cur_epoch = None
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        k, slot, idx, epoch = task
+        if epoch != cur_epoch and hasattr(ds, "set_epoch"):
+            ds.set_epoch(epoch)   # forked workers miss parent set_epoch
+            cur_epoch = epoch
+        try:
+            for r, i in enumerate(idx):
+                item = ds.get(int(i) % n)
+                for key, v in item.items():
+                    views[slot][key][r] = v
+            done_q.put((k, slot, int((np.asarray(idx) < 0).sum()), None))
+        except Exception as e:  # surface to the parent
+            done_q.put((k, slot, 0, f"{type(e).__name__}: {e}"))
+    for shm_map in shms:
+        for shm in shm_map.values():
+            shm.close()
+
+
+class ProcessLoader(Loader):
+    """Process-based prefetcher with shared-memory batch slots.
+
+    The thread Loader tops out near 160 samples/s at real LRMovieNet
+    shapes: h5py serializes every HDF5 call behind one global API lock
+    and numpy item assembly holds the GIL. Worker PROCESSES sidestep
+    both; each worker writes its rows straight into a shared-memory slot.
+
+    Contract: a yielded batch is backed by a shared slot and stays valid
+    for the next `HOLDBACK` yields; consumers that retain batches (the
+    PPO memory buffer) must copy — `shared_slots = True` signals this.
+    """
+
+    shared_slots = True
+    HOLDBACK = 2
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, num_workers: int = 4,
+                 prefetch_depth: int = 2, drop_last: bool = False):
+        super().__init__(dataset, batch_size, shuffle, seed,
+                         num_workers, prefetch_depth, drop_last)
+        self._pool = None  # (procs, task_q, done_q, views, finalizer)
+
+    def _ensure_pool(self):
+        if self._pool is not None:
+            return
+        import multiprocessing as mp
+        import weakref
+        from multiprocessing import shared_memory
+
+        probe = self.ds.get(0)
+        specs = {k: (np.asarray(v).shape, np.asarray(v).dtype)
+                 for k, v in probe.items()}
+        n_slots = self.num_workers + self.prefetch_depth + self.HOLDBACK + 1
+        shms, views, slot_names = [], [], []
+        for _ in range(n_slots):
+            shm_map, view_map, name_map = {}, {}, {}
+            for key, (shape, dtype) in specs.items():
+                size = int(self.bs * np.prod(shape, dtype=np.int64)
+                           * dtype.itemsize) or 1
+                shm = shared_memory.SharedMemory(create=True, size=size)
+                shm_map[key] = shm
+                name_map[key] = shm.name
+                view_map[key] = np.ndarray((self.bs,) + shape, dtype,
+                                           buffer=shm.buf)
+            shms.append(shm_map)
+            views.append(view_map)
+            slot_names.append(name_map)
+
+        mctx = mp.get_context("fork")
+        task_q, done_q = mctx.SimpleQueue(), mctx.SimpleQueue()
+        procs = [mctx.Process(
+            target=_proc_worker,
+            args=(self.ds, specs, slot_names, self.bs, task_q, done_q),
+            daemon=True) for _ in range(self.num_workers)]
+        for p in procs:
+            p.start()
+
+        def cleanup(procs=procs, task_q=task_q, shms=shms):
+            for _ in procs:
+                try:
+                    task_q.put(None)
+                except Exception:
+                    pass
+            for p in procs:
+                p.join(timeout=2)
+                if p.is_alive():
+                    p.terminate()
+            for shm_map in shms:
+                for shm in shm_map.values():
+                    try:
+                        shm.close()
+                        shm.unlink()
+                    except Exception:
+                        pass
+
+        fin = weakref.finalize(self, cleanup)
+        self._pool = (procs, task_q, done_q, views, fin, n_slots)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool[4]()     # run the finalizer now
+            self._pool = None
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from collections import deque
+
+        self._ensure_pool()
+        _, task_q, done_q, views, _, n_slots = self._pool
+        batches = self._batch_indices()
+        free = deque(range(n_slots))
+        holdback: deque = deque()
+        completed: Dict[int, tuple] = {}
+        dispatched = yielded = 0
+        while yielded < len(batches):
+            while free and dispatched < len(batches):
+                task_q.put((dispatched, free.popleft(),
+                            np.asarray(batches[dispatched]), self.epoch))
+                dispatched += 1
+            while yielded not in completed:
+                k, slot, wrapped, err = done_q.get()
+                if err is not None:
+                    raise RuntimeError(f"ProcessLoader worker failed: {err}")
+                completed[k] = (slot, wrapped)
+            slot, wrapped = completed.pop(yielded)
+            batch = dict(views[slot])
+            if wrapped and not self.drop_last:
+                valid = np.ones(self.bs, bool)
+                valid[self.bs - wrapped:] = False
+                batch["_valid"] = valid
+            holdback.append(slot)
+            if len(holdback) > self.HOLDBACK:
+                free.append(holdback.popleft())
+            yielded += 1
+            yield batch
+        # slots still in holdback stay reserved until the next epoch's
+        # first yields, preserving the validity contract across epochs

@@ -106,7 +106,11 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray]) -> dict:
         node = tree
         for p in path[:-1]:
             node = node.setdefault(p, {})
-        node[path[-1]] = jnp.asarray(arr)
+        # copy=True: on the CPU backend jnp.asarray can ALIAS the numpy
+        # buffer, which itself shares memory with the live torch params
+        # (tensor.numpy() is a view) — an in-place torch update would
+        # then silently mutate the "imported" flax tree
+        node[path[-1]] = jnp.asarray(np.array(arr, copy=True))
     # 2-data model fix-up: if there is no img_proj/xit duality issue the
     # trunk/xit placement already matches; text_projN keys landed top-level.
     return {"params": tree}

@@ -49,7 +49,7 @@ class DeviceCtx:
 
     def _cast(self, v):
         v = np.asarray(v)
-        if (self.cast_dtype is not None
+        if (self.cast_dtype is not None and v.dtype != self.cast_dtype
                 and np.issubdtype(v.dtype, np.floating)):
             return v.astype(self.cast_dtype)
         return v

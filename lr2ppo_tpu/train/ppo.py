@@ -227,11 +227,35 @@ class PPOTrainer:
             f"Start PPO: {steps_per_epoch} rollout steps/epoch, "
             f"update every {upd}")
 
+        device_memories: Optional[bool] = None
         for epoch in range(1, cfg.epochs_num + 1):
             loader = make_train_loader(epoch)
             loader.set_epoch(epoch)
+            # shared-slot loaders (ProcessLoader) recycle batch memory;
+            # host-side memories retain batches across the sweep, so copy
+            must_copy = getattr(loader, "shared_slots", False)
             for batch in loader:
                 b = self.ctx.put(batch)
+                if device_memories is None:
+                    # one sweep's batches fit under the HBM budget ->
+                    # keep them device-resident: the sweep re-uploads
+                    # NOTHING (the reference also kept memories on GPU,
+                    # ppo.py:882-883). Otherwise host numpy (+ guard).
+                    per = sum(np.asarray(v).nbytes
+                              for v in batch.values())
+                    projected = per * upd / 1e9
+                    device_memories = (
+                        projected <= cfg.ppo.device_memory_gb)
+                    self.logger.info(
+                        f"PPO memories: {'device' if device_memories else 'host'}"
+                        f"-resident (~{projected:.2f} GB / sweep)")
+                    if not device_memories and projected > 8.0:
+                        self.logger.warning(
+                            f"PPO memory buffer will hold ~"
+                            f"{projected:.1f} GB of host batches "
+                            f"({per / 1e6:.0f} MB x {upd}); consider a "
+                            f"bf16 loader dtype, smaller batch_size, "
+                            f"or smaller update_timesteps")
                 bsz, tags = batch["tgts"].shape
                 state = jnp.asarray(np.broadcast_to(
                     np.arange(tags, dtype=np.int32), (bsz, tags)).copy())
@@ -239,14 +263,22 @@ class PPOTrainer:
                     scores, value, next_state, rew = rollout_step(
                         astate.params, cstate.params, reward_p,
                         b["text"], b.get("img"), state)
-                    memories.append({
-                        "batch": batch,
-                        "state": np.asarray(state),
-                        "next_state": np.asarray(next_state),
-                        "old_scores": np.asarray(scores),
-                        "rewards": np.asarray(rew),
-                        "old_value": np.asarray(value),
-                    })
+                    if device_memories:
+                        memories.append({
+                            "dev": (b["text"], b.get("img"), state,
+                                    next_state, scores, rew, value),
+                        })
+                    else:
+                        memories.append({
+                            "batch": ({k: np.array(v)
+                                       for k, v in batch.items()}
+                                      if must_copy else batch),
+                            "state": np.asarray(state),
+                            "next_state": np.asarray(next_state),
+                            "old_scores": np.asarray(scores),
+                            "rewards": np.asarray(rew),
+                            "old_value": np.asarray(value),
+                        })
                     state = next_state
                     time_ctr += 1
                     if time_ctr % upd == 0:
@@ -281,16 +313,34 @@ class PPOTrainer:
         return astate, cstate, saver.best
 
     def _sweep(self, update_step, astate, cstate, key, memories):
-        agg: Dict[str, float] = {}
-        for mem in memories:
+        """One PPO update sweep over the collected memories.
+
+        Perf contract (round-1 finding: 200 blocking host syncs/sweep):
+        - metrics accumulate as DEVICE arrays and are fetched exactly
+          once at the end — no per-memory float() sync;
+        - the next memory's H2D transfer is enqueued before the current
+          update is dispatched (double buffering: jax device_put and the
+          update dispatch are both async, so DMA overlaps compute).
+        """
+        def put(mem):
+            if "dev" in mem:          # device-resident: nothing to move
+                return mem["dev"]
             b = self.ctx.put(mem["batch"])
+            return (b["text"], b.get("img"), jnp.asarray(mem["state"]),
+                    jnp.asarray(mem["next_state"]),
+                    jnp.asarray(mem["old_scores"]),
+                    jnp.asarray(mem["rewards"]),
+                    jnp.asarray(mem["old_value"]))
+
+        agg = None
+        pending = put(memories[0]) if memories else None
+        for i in range(len(memories)):
+            cur, pending = pending, (put(memories[i + 1])
+                                     if i + 1 < len(memories) else None)
             key, sub = jax.random.split(key)
-            astate, cstate, metrics = update_step(
-                astate, cstate, sub, b["text"], b.get("img"),
-                jnp.asarray(mem["state"]), jnp.asarray(mem["next_state"]),
-                jnp.asarray(mem["old_scores"]), jnp.asarray(mem["rewards"]),
-                jnp.asarray(mem["old_value"]))
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            astate, cstate, metrics = update_step(astate, cstate, sub, *cur)
+            agg = metrics if agg is None else jax.tree.map(
+                jnp.add, agg, metrics)
         n = max(len(memories), 1)
-        return astate, cstate, {k: v / n for k, v in agg.items()}
+        host = jax.device_get(agg) if agg is not None else {}
+        return astate, cstate, {k: float(v) / n for k, v in host.items()}

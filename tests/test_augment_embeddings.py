@@ -38,10 +38,12 @@ def test_masked_patch_embedding():
     params = m.init(jax.random.PRNGKey(0), (pixels, mask), None)
     out = m.apply(params, (pixels, mask), None)
     assert out.shape == (2, 5, 16)           # cls + 4 patches
-    # masked positions equal the (zero-init) mask embedding
-    np.testing.assert_allclose(np.asarray(out[0, 1]), 0.0, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out[1, 4]), 0.0, atol=1e-6)
-    assert np.abs(np.asarray(out[0, 3])).sum() > 0  # unmasked kept
+    # masked positions equal the learned mask embedding (normal-init per
+    # the reference trainer's re-init; zeros would NaN the LN backward)
+    mask_emb = np.asarray(params["params"]["mask_emb"])[0]
+    np.testing.assert_allclose(np.asarray(out[0, 1]), mask_emb, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1, 4]), mask_emb, atol=1e-6)
+    assert not np.allclose(np.asarray(out[0, 3]), mask_emb)  # unmasked kept
 
 
 def test_speech_embedding_subsamples():

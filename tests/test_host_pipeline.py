@@ -1,0 +1,145 @@
+"""Round-2 host-pipeline work: ProcessLoader (shared-memory worker
+processes), MovieNet RAM preload + bf16 items + deterministic per-(epoch,
+item) sampling, and the PPO device-resident memory path."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_movienet
+from lr2ppo_tpu.data.movienet import MovieNetDataset
+from lr2ppo_tpu.data.pipeline import Loader, ProcessLoader
+
+
+class _TinyDs:
+    def __init__(self, n=37):
+        self.n = n
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i):
+        return {"x": np.full(3, i + 1000 * self.epoch, np.float32),
+                "y": np.int32(i)}
+
+
+def test_process_loader_matches_thread_loader():
+    ds = _TinyDs()
+    ref = [{k: v.copy() for k, v in b.items()}
+           for b in Loader(ds, 8, shuffle=True, seed=3)]
+    pl = ProcessLoader(_TinyDs(), 8, shuffle=True, seed=3, num_workers=3)
+    got = [{k: np.array(v) for k, v in b.items()} for b in pl]
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    pl.close()
+
+
+def test_process_loader_epochs_reach_forked_workers():
+    # set_epoch must change worker-side dataset state even though the
+    # workers forked before the call
+    pl = ProcessLoader(_TinyDs(16), 4, shuffle=False, num_workers=2)
+    e0 = [np.array(b["x"]) for b in pl]
+    pl.set_epoch(5)
+    e5 = [np.array(b["x"]) for b in pl]
+    np.testing.assert_array_equal(e5[0], e0[0] + 5000)
+    pl.close()
+
+
+def test_process_loader_propagates_worker_errors():
+    class Bad(_TinyDs):
+        def get(self, i):
+            if i == 7:
+                raise ValueError("corrupt item 7")
+            return super().get(i)
+
+    pl = ProcessLoader(Bad(16), 4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt item 7"):
+        list(pl)
+    pl.close()
+
+
+def test_process_loader_marks_wrap_padding():
+    pl = ProcessLoader(_TinyDs(10), 4, shuffle=False, num_workers=2)
+    batches = [{k: np.array(v) for k, v in b.items()} for b in pl]
+    assert len(batches) == 3
+    assert "_valid" not in batches[0]
+    assert batches[-1]["_valid"].tolist() == [True, True, False, False]
+    pl.close()
+
+
+def test_movienet_preload_matches_h5_reads(tmp_path):
+    jp, hp = make_movienet(tmp_path / "d", n_items=6)
+    kw = dict(mode="ppo", max_tags=4, max_imgs=2, seed=5)
+    plain = MovieNetDataset(jp, hp, **kw)
+    pre = MovieNetDataset(jp, hp, **kw, preload=True)
+    for i in range(len(plain)):
+        a, b = plain.get(i), pre.get(i)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{i}/{k}")
+
+
+def test_movienet_bf16_items(tmp_path):
+    import ml_dtypes
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=4)
+    ds = MovieNetDataset(jp, hp, "ppo", max_tags=4, max_imgs=2,
+                         item_dtype=ml_dtypes.bfloat16, preload=True)
+    it = ds.get(0)
+    assert it["text"].dtype == ml_dtypes.bfloat16
+    assert it["img"].dtype == ml_dtypes.bfloat16
+    f32 = MovieNetDataset(jp, hp, "ppo", max_tags=4, max_imgs=2).get(0)
+    np.testing.assert_allclose(np.asarray(it["text"], np.float32),
+                               f32["text"], rtol=0.01, atol=0.02)
+
+
+def test_movienet_get_deterministic_per_epoch(tmp_path):
+    jp, hp = make_movienet(tmp_path / "d", n_items=4,
+                           n_imgs_range=(4, 5))
+    ds = MovieNetDataset(jp, hp, "ppo", max_tags=4, max_imgs=4, seed=1)
+    for i in range(len(ds)):
+        a, b = ds.get(i), ds.get(i)
+        np.testing.assert_array_equal(a["img"], b["img"])  # exact re-fetch
+    before = [ds.get(i)["img"].copy() for i in range(len(ds))]
+    ds.set_epoch(3)
+    after = [ds.get(i)["img"] for i in range(len(ds))]
+    assert any((x != y).any() for x, y in zip(before, after)), (
+        "image shuffle must reseed with the epoch")
+
+
+@pytest.mark.parametrize("device_gb", [100.0, 0.0])
+def test_ppo_memory_residency_paths(tmp_path, device_gb):
+    # device_gb=100 -> device-resident memories; 0 -> host memories.
+    # Both must train to finite losses on the fake mesh.
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.train.ppo import PPOTrainer
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=8)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                          visual_feat_dim=16, num_heads=4,
+                          family="multimodal", mode="reg"),
+        epochs_num=1, batch_size=4, report_steps=1000,
+        output_model_path=str(tmp_path / "best.ckpt"), seed=3)
+    cfg.mesh.dp = 2
+    cfg.ppo.update_timesteps = 2
+    cfg.ppo.device_memory_gb = device_gb
+
+    def make_train_loader(epoch):
+        ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, max_imgs=2,
+                             seed=epoch)
+        return Loader(ds, 4, shuffle=True, seed=epoch)
+
+    from lr2ppo_tpu.data.pipeline import EvalLoader
+
+    ev_ds = MovieNetDataset(jp, hp, "eval", max_imgs=2)
+    ev = EvalLoader(ev_ds, buckets=[8], batch_size=4)
+    tr = PPOTrainer(cfg)
+    astate, cstate, best = tr.fit(make_train_loader, ev)
+    assert np.isfinite(best) and 0.0 < best <= 1.0
