@@ -264,10 +264,24 @@ _FLAG_ROUTES = {
     "kl_div_loss_weight": ("ppo", "kl_div_loss_weight"),
     "entropy_weight": ("ppo", "entropy_weight"),
     "value_clip": ("ppo", "value_clip"),
+    "rank_margin": ("ppo", "rank_margin"),
+    "advantage_eps": ("ppo", "advantage_eps"),
+    "device_memory_gb": ("ppo", "device_memory_gb"),
+    "grad_clip": ("optim", "grad_clip"),
+    "moment_dtype": ("optim", "moment_dtype"),
+    "remat": ("model", "remat"),
+    "num_workers": ("data", "num_workers"),
+    "prefetch_depth": ("data", "prefetch_depth"),
+    "loader": ("data", "loader"),
+    "preload": ("data", "preload"),
+    "item_dtype": ("data", "item_dtype"),
     "dp": ("mesh", "dp"),
     "tp": ("mesh", "tp"),
     "compute_dtype": ("mesh", "compute_dtype"),
 }
+
+# fields whose default is None need an explicit CLI type
+_FLAG_TYPES = {"grad_clip": float, "moment_dtype": str}
 
 _TOP_FLAGS = [
     "exp_name", "epochs_num", "batch_size", "report_steps", "seed",
@@ -288,7 +302,9 @@ def build_parser(description: str = "lr2ppo-tpu") -> argparse.ArgumentParser:
         p.add_argument(f"--{name}", type=_argtype(default), default=None)
     for flag, (sub, fieldname) in _FLAG_ROUTES.items():
         default = getattr(getattr(d, sub), fieldname)
-        p.add_argument(f"--{flag}", type=_argtype(default), default=None)
+        p.add_argument(f"--{flag}",
+                       type=_FLAG_TYPES.get(flag, _argtype(default)),
+                       default=None)
     # accepted-for-compat flags from the reference scripts (ignored).
     # --use_pairwise is dead in the reference too: every driver parses it
     # (e.g. pointwise.py:461) but no code ever reads args.use_pairwise.

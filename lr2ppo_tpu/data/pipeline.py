@@ -193,7 +193,14 @@ class Loader:
 class EvalLoader:
     """Bucketed eval batching: items grouped by padded tag count so XLA
     compiles one program per (bucket, batch) shape; a boolean mask marks
-    real tags (NDCG honors it)."""
+    real tags (NDCG honors it).
+
+    Items larger than the top bucket get a dynamically grown bucket
+    (rounded up to a multiple of the growth quantum) — the reference
+    evaluates FULL tag lists at bs=1 (ppo.py:620-681), so truncating a
+    >top-bucket item would silently change its NDCG@full."""
+
+    GROW_QUANTUM = 32
 
     def __init__(self, dataset, buckets: Sequence[int],
                  batch_size: int = 8):
@@ -205,7 +212,14 @@ class EvalLoader:
         for b in self.buckets:
             if t <= b:
                 return b
-        return self.buckets[-1]
+        q = self.GROW_QUANTUM
+        grown = -(-t // q) * q
+        import logging
+
+        logging.getLogger("lr2ppo").info(
+            f"EvalLoader: item with {t} tags exceeds top bucket "
+            f"{self.buckets[-1]}; growing a {grown}-wide bucket")
+        return grown
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         by_bucket: Dict[int, List[int]] = {}
@@ -231,6 +245,7 @@ class EvalLoader:
     def _pad(item: Dict[str, np.ndarray], bucket: int) -> Dict[str, np.ndarray]:
         t = item["text"].shape[0]
         pad_t = bucket - t
+        assert pad_t >= 0, "bucket growth must cover every item"
         out = dict(item)
         if pad_t > 0:
             text_pad = np.zeros((pad_t,) + item["text"].shape[1:],
@@ -238,10 +253,6 @@ class EvalLoader:
             out["text"] = np.concatenate([item["text"], text_pad], axis=0)
             out["tgts"] = np.concatenate(
                 [item["tgts"], np.zeros(pad_t, dtype=item["tgts"].dtype)])
-        elif pad_t < 0:   # item larger than biggest bucket: truncate
-            out["text"] = item["text"][:bucket]
-            out["tgts"] = item["tgts"][:bucket]
-            t = bucket
         out["mask"] = np.arange(bucket) < t
         return out
 

@@ -6,8 +6,13 @@ Reference key contracts (SURVEY §2.2):
   * stage-2 reward ckpt loads into BOTH Critic and Reward strict=True
     (ppo.py:769-771);
   * ppo_eval loads one ckpt into the whole ActorCritic strict=True
-    ('actor.'/'critic.' prefixes, ppo_eval.py:336-343);
-  * the vit_ key-prefix remapping convention (pointwise.py:253-258).
+    ('actor.'/'critic.' prefixes, ppo_eval.py:336-343).
+
+NOT ported: the vit_ key-prefix remap (pointwise.py:253-258) prefixes a
+vit tower ckpt's keys and loads strict=False into the Classifier — which
+has NO vit_* parameters, so it is a no-op in the reference (the runtime
+model consumes precomputed clean_feat.h5 features, never the tower). Raw
+tower checkpoints import via towers/torch_import.py instead.
 
 The torch module tree is flat Sequentials, e.g.
   xit.0.0.0.fn.0.ln_x.weight      (pre-attention LayerNorm on queries)

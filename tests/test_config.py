@@ -54,3 +54,24 @@ def test_tabular_fusion_tokens():
     cfg = Config()
     cfg = cfg.replace(model=cfg.model.__class__(family="tabular"))
     assert cfg.model.fusion_tokens == 2
+
+
+def test_round2_flag_routes():
+    from lr2ppo_tpu.config import parse_config
+
+    cfg = parse_config([
+        "--rank_margin", "0.05", "--grad_clip", "1.0",
+        "--moment_dtype", "bfloat16", "--remat", "true",
+        "--advantage_eps", "-0.2", "--device_memory_gb", "2.5",
+        "--loader", "thread", "--preload", "never",
+        "--item_dtype", "float32", "--num_workers", "3"])
+    assert cfg.ppo.rank_margin == 0.05
+    assert cfg.ppo.advantage_eps == -0.2
+    assert cfg.ppo.device_memory_gb == 2.5
+    assert cfg.optim.grad_clip == 1.0
+    assert cfg.optim.moment_dtype == "bfloat16"
+    assert cfg.model.remat is True
+    assert cfg.data.loader == "thread"
+    assert cfg.data.preload == "never"
+    assert cfg.data.item_dtype == "float32"
+    assert cfg.data.num_workers == 3

@@ -143,3 +143,21 @@ def test_ppo_memory_residency_paths(tmp_path, device_gb):
     tr = PPOTrainer(cfg)
     astate, cstate, best = tr.fit(make_train_loader, ev)
     assert np.isfinite(best) and 0.0 < best <= 1.0
+
+
+def test_eval_loader_grows_bucket_beyond_top(tmp_path):
+    # reference evaluates FULL tag lists (ppo.py:620-681); a 150-tag item
+    # above the top bucket must get a grown bucket, not a silent clip
+    from lr2ppo_tpu.data.pipeline import EvalLoader
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=3,
+                           max_tag_range=(150, 151))
+    ds = MovieNetDataset(jp, hp, "eval", max_imgs=2)
+    ev = EvalLoader(ds, buckets=[8, 128], batch_size=2)
+    batches = list(ev)
+    assert batches, "eval loader yielded nothing"
+    widths = {b["text"].shape[1] for b in batches}
+    assert widths == {160}, widths        # 150 -> ceil to quantum 32
+    per_row_tags = np.concatenate([b["mask"].sum(1)[
+        np.asarray(b["_idx"]) >= 0] for b in batches])
+    assert (per_row_tags == 150).all()    # every tag evaluated
