@@ -95,3 +95,17 @@ def test_registry_complete():
                  "image", "text_image"):
         assert kind in str2tokenizer
     assert VirtualTokenizer().tokenize("anything") == []
+
+
+def test_vocab_build_multiprocess_matches_single(tmp_path):
+    from lr2ppo_tpu.data.tokenizers import SpaceTokenizer, Vocab
+
+    corpus = tmp_path / "c.txt"
+    rng = __import__("numpy").random.default_rng(0)
+    lines = [" ".join(rng.choice(list("abcdefgh"), 6)) for _ in range(200)]
+    corpus.write_text("\n".join(lines) + "\n")
+    tok = SpaceTokenizer(None)
+    single = Vocab.build(str(corpus), tok, min_count=2, workers_num=1)
+    multi = Vocab.build(str(corpus), tok, min_count=2, workers_num=3)
+    assert single.i2w == multi.i2w
+    assert len(single) > 5
