@@ -70,3 +70,57 @@ def test_pretrain_cli_e2e(tmp_path):
     assert np.isfinite(best)
     assert (tmp_path / "mlm").exists()
     assert (tmp_path / "mlm-best").exists()
+
+
+@pytest.mark.parametrize("proc", ["bert", "t5", "bilm", "cls_mlm"])
+def test_pretrain_cli_new_processors(tmp_path, proc):
+    """Round-2 processors drive end-to-end through the real CLI: arg
+    wiring (tgt_seq_length, sentinel growth, form routing) + one short
+    training run each."""
+    from lr2ppo_tpu.cli import pretrain
+
+    vp = tmp_path / "v.txt"
+    toks = ["<s>", "<pad>", "</s>", "<unk>", "<mask>"] + list("abcdefgh")
+    vp.write_text("".join(t + "\n" for t in toks))
+    corpus = tmp_path / "c.txt"
+    rng = np.random.default_rng(0)
+    if proc in ("bert",):          # blank-line separated docs
+        blocks = []
+        for _ in range(6):
+            blocks.extend(" ".join(rng.choice(list("abcdefgh"), 5))
+                          for _ in range(4))
+            blocks.append("")
+        corpus.write_text("\n".join(blocks) + "\n")
+    elif proc == "cls_mlm":        # label \t text
+        corpus.write_text("".join(
+            f"{i % 2}\t{' '.join(rng.choice(list('abcdefgh'), 5))}\n"
+            for i in range(24)))
+    else:                          # raw lines
+        corpus.write_text("a b c d e f g h\n" * 24)
+    targets = {"bert": ["mlm", "sp"], "t5": ["lm"], "bilm": ["bilm"],
+               "cls_mlm": ["mlm", "cls"]}[proc]
+    tcfg = tmp_path / "tower.json"
+    cfg = {
+        "emb_size": 16, "hidden_size": 16, "feedforward_size": 32,
+        "heads_num": 4, "layers_num": 1, "max_seq_length": 32,
+        "dropout": 0.0, "embedding": ["word", "pos", "seg"],
+        "encoder": "transformer", "mask": "fully_visible",
+        "target": targets, "labels_num": 2, "pooling": "first",
+    }
+    if proc == "t5":
+        cfg["decoder"] = "transformer"
+    if proc == "bilm":
+        cfg["encoder"] = "bilstm"
+        cfg["embedding"] = ["word"]
+    tcfg.write_text(json.dumps(cfg))
+    best = pretrain.main([
+        "--corpus_path", str(corpus), "--tower_config", str(tcfg),
+        "--data_processor", proc,
+        "--tokenizer", "space", "--vocab_path", str(vp),
+        "--output_model_path", str(tmp_path / proc),
+        "--batch_size", "4", "--seq_length", "12",
+        "--tgt_seq_length", "12", "--total_steps", "4",
+        "--report_steps", "2", "--dp", "2",
+    ])
+    assert np.isfinite(best)
+    assert (tmp_path / proc).exists()
