@@ -66,6 +66,37 @@ class DeviceCtx:
         return shard_params(tree, self.mesh)
 
 
+def load_state_tree(path: str):
+    """Backend-aware full-state load: pickle file or orbax directory."""
+    import pickle
+
+    try:
+        return checkpoints.load_checkpoint(path)
+    except (pickle.UnpicklingError, UnicodeDecodeError,
+            IsADirectoryError, PermissionError):
+        return checkpoints.load_orbax_checkpoint(path)
+
+
+def restore_train_state(ctx: DeviceCtx, tx, params_tree, opt_tree,
+                        step) -> TrainState:
+    """Rebuild a TrainState from a restored host tree with production
+    placement: params via the megatron sharding rules, opt_state
+    re-grafted onto the native optax structure (orbax restores plain
+    containers) and placed by the same rules (moment trees mirror the
+    param paths; scalars replicate)."""
+    params = ctx.place_params(params_tree)
+    ref_struct = jax.tree.structure(
+        jax.eval_shape(tx.init, params["params"]))
+    if jax.tree.structure(opt_tree) != ref_struct:
+        opt_tree = jax.tree.unflatten(ref_struct,
+                                      jax.tree.leaves(opt_tree))
+    # the +0 forces a FRESH device buffer: jax caches small constants,
+    # and two states sharing one step buffer break donation ("attempt
+    # to donate the same buffer twice") in steps that donate both
+    step_arr = jnp.asarray(np.asarray(step, np.int32)) + 0
+    return TrainState(params, ctx.place_params(opt_tree), step_arr)
+
+
 class BestSaver:
     """Save-best contract (model_saver.py:4-11, ppo.py:910-915)."""
 

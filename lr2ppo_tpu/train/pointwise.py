@@ -13,7 +13,6 @@ true synchronized DP strictly dominates and is the documented deviation).
 
 from __future__ import annotations
 
-import pickle
 from functools import partial
 from itertools import islice
 from typing import Dict, Optional
@@ -26,7 +25,15 @@ from lr2ppo_tpu.config import Config
 from lr2ppo_tpu.models import ScoreModel, TwoDataScoreModel
 from lr2ppo_tpu.ops import nll_3way_loss, smooth_l1_loss
 from lr2ppo_tpu.train import checkpoints
-from lr2ppo_tpu.train.common import BestSaver, DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.common import (
+    BestSaver,
+    DeviceCtx,
+    TrainState,
+    apply_updates,
+    init_state,
+    load_state_tree,
+    restore_train_state,
+)
 from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import (
@@ -88,27 +95,9 @@ class PointwiseTrainer:
         step = 0
         start_epoch, skip_batches = 1, 0
         if cfg.resume_path:
-            try:
-                tree, meta = checkpoints.load_checkpoint(cfg.resume_path)
-            except (pickle.UnpicklingError, UnicodeDecodeError,
-                    IsADirectoryError, PermissionError):
-                tree, meta = checkpoints.load_orbax_checkpoint(
-                    cfg.resume_path)
-            params = self.ctx.place_params(tree["params"])
-            # orbax restores plain containers, not optax NamedTuples:
-            # re-graft the leaves onto the native structure (shape-only
-            # via eval_shape — no moment allocation)
-            ref_struct = jax.tree.structure(
-                jax.eval_shape(tx.init, params["params"]))
-            restored_opt = tree["opt_state"]
-            if jax.tree.structure(restored_opt) != ref_struct:
-                restored_opt = jax.tree.unflatten(
-                    ref_struct, jax.tree.leaves(restored_opt))
-            # moment trees mirror the param paths, so the same megatron
-            # sharding rules place them; scalars (count) replicate. A
-            # host-restored tree left unplaced breaks the dp/tp layout.
-            opt_state = self.ctx.place_params(restored_opt)
-            state = TrainState(params, opt_state, jnp.asarray(tree["step"]))
+            tree, meta = load_state_tree(cfg.resume_path)
+            state = restore_train_state(self.ctx, tx, tree["params"],
+                                        tree["opt_state"], tree["step"])
             step = int(meta.get("step", tree["step"]))
             # fast-forward the data stream: without this a resumed run
             # restarts at epoch 1 while keeping the restored step counter

@@ -199,21 +199,52 @@ class PPOTrainer:
         md = cfg.optim.moment_dtype
 
         def mk(base_lr):
-            return optax.chain(
+            chain = [
                 scale_by_adam_hf(cfg.optim.beta1, cfg.optim.beta2,
                                  cfg.optim.adam_eps, cfg.optim.correct_bias,
                                  jnp.dtype(md) if md else None),
                 optax.add_decayed_weights(cfg.optim.weight_decay,
                                           mask=decay_mask),
                 optax.scale_by_learning_rate(sweep_sched(base_lr)),
-            )
+            ]
+            if cfg.optim.grad_clip:
+                chain.insert(0, optax.clip_by_global_norm(
+                    cfg.optim.grad_clip))
+            return optax.chain(*chain)
         atx, ctx_tx = mk(cfg.optim.learning_rate), mk(
             cfg.optim.critic_learning_rate)
 
         first = next(iter(loader0))
-        actor_p, critic_p, reward_p = self.init_params(first, cfg.seed)
-        astate = init_state(actor_p, atx)
-        cstate = init_state(critic_p, ctx_tx)
+        start_epoch, skip_batches = 1, 0
+        time_ctr, step = 0, 0
+        if cfg.resume_path:
+            # full PPO resume (reference has save-best only): both train
+            # states + the rollout/sweep counters, with the data stream
+            # fast-forwarded to the restored position
+            from lr2ppo_tpu.train.common import (
+                load_state_tree, restore_train_state)
+
+            tree, meta = load_state_tree(cfg.resume_path)
+            astate = restore_train_state(
+                self.ctx, atx, tree["actor"]["params"],
+                tree["actor"]["opt_state"], tree["astep"])
+            cstate = restore_train_state(
+                self.ctx, ctx_tx, tree["critic"]["params"],
+                tree["critic"]["opt_state"], tree["astep"])
+            _, _, reward_p = self.init_params(first, cfg.seed)
+            step = int(tree["step"])
+            time_ctr = int(tree["time_ctr"])
+            consumed = time_ctr // max(cfg.ppo.max_timesteps, 1)
+            start_epoch = min(consumed // steps_per_epoch + 1,
+                              cfg.epochs_num)
+            skip_batches = consumed % steps_per_epoch
+            self.logger.info(
+                f"resumed PPO from {cfg.resume_path} @ sweep {step} "
+                f"(epoch {start_epoch}, skipping {skip_batches} batches)")
+        else:
+            actor_p, critic_p, reward_p = self.init_params(first, cfg.seed)
+            astate = init_state(actor_p, atx)
+            cstate = init_state(critic_p, ctx_tx)
 
         rollout_step = make_rollout_step(self.actor, self.critic, self.reward,
                                          cfg.model.mode)
@@ -221,20 +252,24 @@ class PPOTrainer:
                                        cfg)
         saver = BestSaver(cfg.output_model_path, self.logger)
         key = jax.random.PRNGKey(cfg.seed + 2)
-        time_ctr, step = 0, 0
         memories: List[dict] = []
         self.logger.info(
             f"Start PPO: {steps_per_epoch} rollout steps/epoch, "
             f"update every {upd}")
 
         device_memories: Optional[bool] = None
-        for epoch in range(1, cfg.epochs_num + 1):
+        for epoch in range(start_epoch, cfg.epochs_num + 1):
             loader = make_train_loader(epoch)
             loader.set_epoch(epoch)
             # shared-slot loaders (ProcessLoader) recycle batch memory;
             # host-side memories retain batches across the sweep, so copy
             must_copy = getattr(loader, "shared_slots", False)
-            for batch in loader:
+            batch_iter = iter(loader)
+            if epoch == start_epoch and skip_batches:
+                from itertools import islice
+
+                batch_iter = islice(batch_iter, skip_batches, None)
+            for batch in batch_iter:
                 b = self.ctx.put(batch)
                 if device_memories is None:
                     # one sweep's batches fit under the HBM budget ->
@@ -291,6 +326,17 @@ class PPOTrainer:
                             update_step, astate, cstate, sub, memories)
                         memories = []
                         step += 1
+                        if (cfg.save_state_steps
+                                and step % cfg.save_state_steps == 0):
+                            checkpoints.save_checkpoint(
+                                cfg.output_model_path + ".state",
+                                {"actor": {"params": astate.params,
+                                           "opt_state": astate.opt_state},
+                                 "critic": {"params": cstate.params,
+                                            "opt_state": cstate.opt_state},
+                                 "astep": int(astate.step),
+                                 "step": step, "time_ctr": time_ctr},
+                                {"step": step})
                         from lr2ppo_tpu.utils import check_finite
 
                         check_finite(agg["policy_loss"], step, "policy_loss",

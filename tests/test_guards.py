@@ -103,3 +103,49 @@ def test_resume_from_orbax_state(tmp_path):
     state2, best2 = tr2.fit(train, ev)
     assert int(state2.step) == 12  # 6 saved + epoch-2's 6 steps
     assert np.isfinite(best2)
+
+
+def test_ppo_resume_continues(tmp_path):
+    from fixtures import make_movienet
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.data.movienet import MovieNetDataset
+    from lr2ppo_tpu.train.ppo import PPOTrainer
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=8)
+
+    def base_cfg(epochs):
+        cfg = Config()
+        cfg = cfg.replace(
+            model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                              visual_feat_dim=16, num_heads=4,
+                              family="multimodal", mode="reg"),
+            epochs_num=epochs, batch_size=4, report_steps=1000,
+            output_model_path=str(tmp_path / "best.ckpt"), seed=3,
+            save_state_steps=1)
+        cfg.mesh.dp = 2
+        cfg.ppo.update_timesteps = 2
+        return cfg
+
+    def make_train_loader(epoch):
+        ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, max_imgs=2,
+                             seed=epoch)
+        return Loader(ds, 4, shuffle=True, seed=epoch)
+
+    ev = EvalLoader(MovieNetDataset(jp, hp, "eval", max_imgs=2),
+                    buckets=[8], batch_size=4)
+    # 16 examples / bs 4 = 4 batches/epoch; sweep every 2 -> 2 sweeps/ep
+    tr = PPOTrainer(base_cfg(2))
+    astate, cstate, _ = tr.fit(make_train_loader, ev)
+    state_path = str(tmp_path / "best.ckpt.state")
+    import os
+
+    assert os.path.exists(state_path)
+
+    cfg2 = base_cfg(3).replace(resume_path=state_path)
+    tr2 = PPOTrainer(cfg2)
+    a2, c2, best2 = tr2.fit(make_train_loader, ev)
+    # resumed at epoch 3 with 4 saved sweeps -> exactly 2 more sweeps of
+    # 2 updates each on both nets (not a restart: that would be 10)
+    assert int(a2.step) == int(astate.step) + 4
+    assert int(c2.step) == int(cstate.step) + 4
+    assert np.isfinite(best2)
