@@ -98,23 +98,49 @@ class RewardTrainer:
     def fit(self, train_loader, eval_loader,
             train_steps: Optional[int] = None):
         cfg = self.cfg
-        total = train_steps or int(len(train_loader) * cfg.epochs_num) + 1
+        steps_per_epoch = len(train_loader)
+        total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
         tx = build_optimizer(cfg.optim, total)
-        first = next(iter(train_loader))
-        state = init_state(self.init_params(first, cfg.seed), tx)
+        step, start_epoch, skip_batches = 0, 1, 0
+        if cfg.resume_path:
+            from lr2ppo_tpu.train.common import (
+                load_state_tree, restore_train_state)
+
+            tree, meta = load_state_tree(cfg.resume_path)
+            state = restore_train_state(self.ctx, tx, tree["params"],
+                                        tree["opt_state"], tree["step"])
+            step = int(meta.get("step", tree["step"]))
+            start_epoch = min(step // steps_per_epoch + 1, cfg.epochs_num)
+            skip_batches = step % steps_per_epoch
+            self.logger.info(
+                f"resumed from {cfg.resume_path} @ step {step} "
+                f"(epoch {start_epoch}, skipping {skip_batches} batches)")
+        else:
+            first = next(iter(train_loader))
+            state = init_state(self.init_params(first, cfg.seed), tx)
         train_step = make_train_step(self.model, tx, self.margin)
         saver = BestSaver(cfg.output_model_path, self.logger)
         key = jax.random.PRNGKey(cfg.seed + 1)
-        step = 0
-        for epoch in range(1, cfg.epochs_num + 1):
+        for epoch in range(start_epoch, cfg.epochs_num + 1):
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
+            batch_iter = iter(train_loader)
+            if epoch == start_epoch and skip_batches:
+                from itertools import islice
+
+                batch_iter = islice(batch_iter, skip_batches, None)
+            for batch in batch_iter:
                 b = self.ctx.put(batch)
                 key, sub = jax.random.split(key)
                 state, loss, acc = train_step(
                     state, sub, b["text"], b.get("img"), b["tgts"],
                     b["chosen_index"], b["reject_index"])
                 step += 1
+                if cfg.save_state_steps and step % cfg.save_state_steps == 0:
+                    checkpoints.save_checkpoint(
+                        cfg.output_model_path + ".state",
+                        {"params": state.params,
+                         "opt_state": state.opt_state, "step": step},
+                        {"step": step})
                 if step % cfg.report_steps == 0:
                     self.logger.info(
                         f"epoch {epoch} step {step} "

@@ -149,3 +149,44 @@ def test_ppo_resume_continues(tmp_path):
     assert int(a2.step) == int(astate.step) + 4
     assert int(c2.step) == int(cstate.step) + 4
     assert np.isfinite(best2)
+
+
+def test_reward_resume_continues(tmp_path):
+    from fixtures import make_movienet
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.data.movienet import MovieNetDataset
+    from lr2ppo_tpu.train.reward import RewardTrainer
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=6, with_index=True)
+
+    def base_cfg(epochs):
+        cfg = Config()
+        cfg = cfg.replace(
+            model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                              visual_feat_dim=16, num_heads=4,
+                              family="multimodal"),
+            epochs_num=epochs, batch_size=4, report_steps=1000,
+            output_model_path=str(tmp_path / "best.ckpt"), seed=3,
+            save_state_steps=2)
+        cfg.mesh.dp = 2
+        return cfg
+
+    tr_ds = MovieNetDataset(jp, hp, "reward", max_imgs=2)
+    ev_ds = MovieNetDataset(jp, hp, "reward_eval", max_tags=2, max_imgs=2)
+    train = Loader(tr_ds, 4, shuffle=True)
+    ev = Loader(ev_ds, 4, shuffle=False)
+    spe = len(train)
+
+    tr = RewardTrainer(base_cfg(1))
+    state, _ = tr.fit(train, ev)
+    assert int(state.step) == spe
+
+    cfg2 = base_cfg(2).replace(
+        resume_path=str(tmp_path / "best.ckpt.state"))
+    tr2 = RewardTrainer(cfg2)
+    state2, best2 = tr2.fit(train, ev)
+    saved = (spe // 2) * 2                   # last periodic save
+    resumed_from = min(saved // spe + 1, 2)
+    expect = saved + (2 - resumed_from + 1) * spe - (saved % spe)
+    assert int(state2.step) == expect
+    assert np.isfinite(best2)
