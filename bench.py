@@ -53,8 +53,15 @@ def build(bs: int, remat: bool = None, pallas_dropout: bool = None):
         remat = os.environ.get("LR2PPO_BENCH_REMAT", "0") == "1"
     if pallas_dropout is None:
         pallas_dropout = os.environ.get("LR2PPO_BENCH_PALLAS", "0") == "1"
+    # hash_dropout (ops/hash_dropout.py): murmur-mixed iota masks
+    # regenerated in the backward from a scalar seed. Measured bs=256:
+    # update step 247.7 -> 167.6 ms — indistinguishable from dropout
+    # DISABLED (166.8 ms), i.e. the entire threefry + mask-residual cost
+    # (81 ms, 24% of the step) vanishes. 748 -> 979 samples/s.
+    hash_dropout = os.environ.get("LR2PPO_BENCH_HASH", "1") == "1"
     mcfg = ModelConfig(family="multimodal", seq_length=196, max_imgs=16,
                        mode="reg", pallas_dropout=pallas_dropout,
+                       hash_dropout=hash_dropout,
                        remat=remat)
     # bf16 compute + bf16 Adam moments: the production TPU configuration
     cfg = Config(model=mcfg,

@@ -60,6 +60,10 @@ class ModelConfig:
     # uint32 — ~4x cheaper RNG, fully XLA-fused; keep probability
     # quantizes to 1/256 steps (rate 0.1 -> 0.1016)
     fast_dropout: bool = False
+    # zero-residual hash dropout (ops/hash_dropout.py): murmur-mixed
+    # iota masks regenerated in the backward from a scalar seed — no
+    # threefry cost, no stored masks, cannot OOM; non-canonical stream
+    hash_dropout: bool = False
     # torch-style kaiming-uniform init (matches reference stage-1 dynamics,
     # see pointwise.py:239-271 where the roberta ckpt matches no keys and the
     # torch default init survives) vs 'normal_0.02' (ppo.py:362-365 path).
@@ -270,6 +274,7 @@ _FLAG_ROUTES = {
     "grad_clip": ("optim", "grad_clip"),
     "moment_dtype": ("optim", "moment_dtype"),
     "remat": ("model", "remat"),
+    "hash_dropout": ("model", "hash_dropout"),
     "num_workers": ("data", "num_workers"),
     "prefetch_depth": ("data", "prefetch_depth"),
     "loader": ("data", "loader"),

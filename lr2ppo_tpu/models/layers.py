@@ -175,6 +175,7 @@ class XiT(nn.Module):
     init_style: str = "torch_default"
     pallas_dropout: bool = False
     fast_dropout: bool = False
+    hash_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
 
     # only tensors at least this large go through the pallas kernel: the
@@ -185,6 +186,12 @@ class XiT(nn.Module):
     def _drop(self, x: Array, rate: float, deterministic: bool) -> Array:
         if deterministic or rate == 0.0:
             return x
+        if self.hash_dropout:
+            from lr2ppo_tpu.ops.hash_dropout import hash_dropout
+            from lr2ppo_tpu.ops.pallas_dropout import seed_from_key
+
+            return hash_dropout(x, seed_from_key(self.make_rng("dropout")),
+                                rate)
         if self.fast_dropout:
             from lr2ppo_tpu.ops.fast_dropout import packed_dropout
 

@@ -65,7 +65,8 @@ class FusionTrunk(nn.Module):
                     forward_drop_p=cfg.forward_drop_p,
                     init_style=cfg.init_style,
                     pallas_dropout=cfg.pallas_dropout,
-                    fast_dropout=cfg.fast_dropout, dtype=self.dtype,
+                    fast_dropout=cfg.fast_dropout,
+                    hash_dropout=cfg.hash_dropout, dtype=self.dtype,
                     name="xit")(tfeat, ifeat, deterministic)
             ib = jnp.broadcast_to(ifeat, (b, t) + ifeat.shape[2:])
             x = jnp.concatenate([x, ib], axis=2)        # (B, T, S+I, D)
@@ -78,7 +79,8 @@ class FusionTrunk(nn.Module):
                     forward_drop_p=cfg.forward_drop_p,
                     init_style=cfg.init_style,
                     pallas_dropout=cfg.pallas_dropout,
-                    fast_dropout=cfg.fast_dropout, dtype=self.dtype,
+                    fast_dropout=cfg.fast_dropout,
+                    hash_dropout=cfg.hash_dropout, dtype=self.dtype,
                     name="xit")(tokens, tokens, deterministic)
             x = jnp.concatenate([x, tokens], axis=2)    # (B, T, 2, D)
 
@@ -159,7 +161,8 @@ class SeqScoreModel(nn.Module):
                 drop_p=cfg.drop_p, forward_drop_p=cfg.forward_drop_p,
                 init_style=cfg.init_style,
                 pallas_dropout=cfg.pallas_dropout,
-                fast_dropout=cfg.fast_dropout, dtype=self.dtype,
+                fast_dropout=cfg.fast_dropout,
+                    hash_dropout=cfg.hash_dropout, dtype=self.dtype,
                 name="xitt")(x, x, deterministic)
         logits = TorchDense(1, cfg.init_style, dtype=self.dtype,
                             name="head")(x)            # (B, K, 1)
