@@ -188,8 +188,12 @@ def main(argv=None):
     # T5 sentinels / DALL-E image tokens live past the vocab end; grow
     # the embedding to fit
     extra_vocab = 0
-    if args.data_processor == "t5" and args.sentinel_start is None:
-        extra_vocab = 100
+    if args.data_processor == "t5":
+        # sentinels occupy [sentinel_start, sentinel_start + 100); grow
+        # the embedding to cover them wherever the user places them
+        start = (args.sentinel_start if args.sentinel_start is not None
+                 else len(tok.vocab))
+        extra_vocab = max(0, start + 100 - len(tok.vocab))
     elif args.data_processor == "dalle":
         from lr2ppo_tpu.towers.vqgan import VQGANConfig
 

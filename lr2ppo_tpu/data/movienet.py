@@ -117,9 +117,13 @@ class MovieNetDataset:
                     # ch/rj index into the 3-tag subset `pick`
                     self.examples.append((iid, pick, ch, rj))
             elif mode == "ppo":
+                # the pair itself is drawn in get() from the (epoch,
+                # item) rng: set_epoch(n) alone gives the fresh per-epoch
+                # pair sampling of the reference's per-epoch trainset
+                # rebuild (ppo.py:816) without re-reading JSON/h5,
+                # re-preloading RAM, or re-forking loader workers
                 for _ in range(max_tags):
-                    pair = list(self.rng.permutation(t)[:2])
-                    self.examples.append((iid, pair, None, None))
+                    self.examples.append((iid, None, None, None))
             else:  # eval
                 self.examples.append((iid, list(range(t)), None, None))
 
@@ -190,6 +194,9 @@ class MovieNetDataset:
         # same tensors (lets PPO re-materialize sweep batches exactly)
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
+        if tag_index is None:      # ppo mode: fresh pair every epoch
+            t = len(self.targets_of[iid])
+            tag_index = rng.permutation(t)[:2].tolist()
         idx = np.asarray(tag_index)
         dt = self.item_dtype
         if self._ram is not None:

@@ -374,6 +374,11 @@ class ProcessLoader(Loader):
 
         fin = weakref.finalize(self, cleanup)
         self._pool = (procs, task_q, done_q, views, fin, n_slots)
+        # slots whose batches were recently yielded and may still be in
+        # the consumer's hands; persists across __iter__ calls so the
+        # "valid for the next HOLDBACK yields" contract spans epochs
+        from collections import deque
+        self._holdback = deque()
 
     def close(self) -> None:
         if self._pool is not None:
@@ -386,8 +391,10 @@ class ProcessLoader(Loader):
         self._ensure_pool()
         _, task_q, done_q, views, _, n_slots = self._pool
         batches = self._batch_indices()
-        free = deque(range(n_slots))
-        holdback: deque = deque()
+        # carry the previous epoch's still-reserved slots: a consumer may
+        # hold its last yielded batches across the epoch boundary
+        holdback = self._holdback
+        free = deque(i for i in range(n_slots) if i not in holdback)
         completed: Dict[int, tuple] = {}
         dispatched = yielded = 0
         while yielded < len(batches):

@@ -127,6 +127,31 @@ class BertDocsDataset(_MaskedPairDataset):
                 self.instances.extend(
                     self._from_doc(docs, di, rng, short_seq_prob))
 
+    def _build_pair(self, docs, di, chunk, a_end, target_len, rng):
+        """(tokens_a, tokens_b, label, segments_consumed). NSP: with
+        p=0.5 (or a one-segment chunk) B comes from a random OTHER
+        document and the unconsumed segments are handed back to the
+        chunker (dataset.py:150-186)."""
+        tokens_a = [t for s in chunk[:a_end] for t in s]
+        if len(chunk) == 1 or rng.random() < 0.5:
+            is_random = 1
+            want_b = target_len - len(tokens_a)
+            rdi = di
+            for _ in range(10):
+                rdi = int(rng.integers(0, len(docs)))
+                if rdi != di:
+                    break
+            rdoc = docs[rdi]
+            rstart = int(rng.integers(0, len(rdoc)))
+            tokens_b = []
+            for s in rdoc[rstart:]:
+                tokens_b.extend(s)
+                if len(tokens_b) >= want_b:
+                    break
+            return tokens_a, tokens_b, is_random, a_end
+        tokens_b = [t for s in chunk[a_end:] for t in s]
+        return tokens_a, tokens_b, 0, len(chunk)
+
     def _from_doc(self, docs, di, rng, short_seq_prob):
         doc = docs[di]
         max_tokens = self.seq_length - 3
@@ -142,31 +167,13 @@ class BertDocsDataset(_MaskedPairDataset):
                     a_end = 1
                     if len(chunk) >= 2:
                         a_end = int(rng.integers(1, len(chunk)))
-                    tokens_a = [t for s in chunk[:a_end] for t in s]
-                    if len(chunk) == 1 or rng.random() < 0.5:
-                        # random next: B from another document
-                        is_random = 1
-                        want_b = target_len - len(tokens_a)
-                        rdi = di
-                        for _ in range(10):
-                            rdi = int(rng.integers(0, len(docs)))
-                            if rdi != di:
-                                break
-                        rdoc = docs[rdi]
-                        rstart = int(rng.integers(0, len(rdoc)))
-                        tokens_b = []
-                        for s in rdoc[rstart:]:
-                            tokens_b.extend(s)
-                            if len(tokens_b) >= want_b:
-                                break
-                        i -= len(chunk) - a_end  # reuse unconsumed segs
-                    else:
-                        is_random = 0
-                        tokens_b = [t for s in chunk[a_end:] for t in s]
+                    tokens_a, tokens_b, label, consumed = self._build_pair(
+                        docs, di, chunk, a_end, target_len, rng)
+                    i -= len(chunk) - consumed  # reuse unconsumed segs
                     _truncate_pair(tokens_a, tokens_b, max_tokens, rng)
                     if tokens_a and tokens_b:
                         out.append(_pad_pair_instance(
-                            tokens_a, tokens_b, is_random, self.seq_length))
+                            tokens_a, tokens_b, label, self.seq_length))
                 chunk, clen = [], 0
             i += 1
         return out
@@ -180,36 +187,17 @@ class BertDocsDataset(_MaskedPairDataset):
 
 class AlbertDocsDataset(BertDocsDataset):
     """MLM + sentence-order-prediction (dataset.py:321-430): A/B from the
-    same chunk, swapped with p=0.5; tgt_sp=1 means wrong order."""
+    same chunk, swapped with p=0.5; tgt_sp=1 means wrong order. Shares
+    BertDocsDataset's chunker; only the pair construction differs."""
 
-    def _from_doc(self, docs, di, rng, short_seq_prob):
-        doc = docs[di]
-        max_tokens = self.seq_length - 3
-        target_len = max_tokens
-        if rng.random() < short_seq_prob:
-            target_len = int(rng.integers(2, max_tokens + 1))
-        out, chunk, clen, i = [], [], 0, 0
-        while i < len(doc):
-            chunk.append(doc[i])
-            clen += len(doc[i])
-            if i == len(doc) - 1 or clen >= target_len:
-                if chunk:
-                    a_end = 1
-                    if len(chunk) >= 2:
-                        a_end = int(rng.integers(1, len(chunk)))
-                    tokens_a = [t for s in chunk[:a_end] for t in s]
-                    tokens_b = [t for s in chunk[a_end:] for t in s]
-                    is_wrong = 0
-                    if rng.random() < 0.5:
-                        is_wrong = 1
-                        tokens_a, tokens_b = tokens_b, tokens_a
-                    _truncate_pair(tokens_a, tokens_b, max_tokens, rng)
-                    if tokens_a and tokens_b:
-                        out.append(_pad_pair_instance(
-                            tokens_a, tokens_b, is_wrong, self.seq_length))
-                chunk, clen = [], 0
-            i += 1
-        return out
+    def _build_pair(self, docs, di, chunk, a_end, target_len, rng):
+        tokens_a = [t for s in chunk[:a_end] for t in s]
+        tokens_b = [t for s in chunk[a_end:] for t in s]
+        is_wrong = 0
+        if rng.random() < 0.5:
+            is_wrong = 1
+            tokens_a, tokens_b = tokens_b, tokens_a
+        return tokens_a, tokens_b, is_wrong, len(chunk)
 
 
 class ClsMlmTsvDataset(_MaskedPairDataset):
@@ -736,9 +724,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         width = w.getsampwidth()
         channels = w.getnchannels()
         raw = w.readframes(n)
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
-    x = np.frombuffer(raw, dtype).astype(np.float32)
-    x /= float(np.iinfo(dtype).max)
+    if width == 1:
+        # 8-bit PCM WAV is UNSIGNED (0..255 around a 128 midpoint)
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        dtype = {2: np.int16, 4: np.int32}[width]
+        x = np.frombuffer(raw, dtype).astype(np.float32)
+        x /= float(np.iinfo(dtype).max)
     if channels > 1:
         x = x.reshape(-1, channels).mean(axis=1)
     return x, rate
@@ -800,8 +792,8 @@ class BeitImageDataset:
         self.paths = list(paths)
         self.tok = image_tok
         self.h, self.w = image_height, image_width
-        self.seq = (image_height // patch_size) * (
-            image_width // patch_size) + 1
+        self.gh, self.gw = image_height // patch_size, image_width // patch_size
+        self.seq = self.gh * self.gw + 1
         self.n_mask = max(int((self.seq - 1) * mask_rate), 1)
         self.seed = seed
         self.epoch = 0
@@ -816,28 +808,40 @@ class BeitImageDataset:
     def _pixels(self, path):
         from PIL import Image
 
-        img = Image.open(path).convert("RGB").resize(
-            (self.tok.cfg.resolution, self.tok.cfg.resolution))
+        img = Image.open(path).convert("RGB").resize((self.w, self.h))
         return (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+
+    def _grid_align(self, tokens: np.ndarray) -> np.ndarray:
+        """Map the VQGAN token grid onto the (gh, gw) patch grid so
+        masked patch j is paired with the code of the SAME image region.
+        When the VQGAN downsample equals the patch size (the reference
+        configuration, dataloader.py:878: tokenize the model-resolution
+        image) the grids coincide and this is the identity."""
+        n = tokens.size
+        if n == self.gh * self.gw:
+            return tokens
+        th = tw = int(round(float(n) ** 0.5))  # vqgan grids are square
+        grid = tokens.reshape(th, tw)
+        rows = (np.arange(self.gh) * th) // self.gh
+        cols = (np.arange(self.gw) * tw) // self.gw
+        return grid[rows][:, cols].reshape(-1)
 
     def get(self, i: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
+        # one decode per get: the VQGAN tokenizes the SAME
+        # model-resolution pixels the model sees (the reference feeds
+        # its transform()ed 224px image to image_tokenize,
+        # dataloader.py:873-878) so token grid == patch grid
+        model_pixels = self._pixels(self.paths[i])
         if i not in self._cache:
-            pixels = self._pixels(self.paths[i])
-            self._cache[i] = self.tok.tokenize_images(pixels[None])[0]
+            raw = self.tok.tokenize_images(model_pixels[None])[0]
+            self._cache[i] = self._grid_align(np.asarray(raw))
         tokens = np.concatenate([[0], self._cache[i]])[: self.seq]
         mask = rng.choice(np.arange(1, self.seq), self.n_mask,
                           replace=False).astype(np.int32)
         tgt = np.zeros(self.seq, np.int32)
         tgt[mask] = tokens[mask]
-        # model input is (h, w) of the *model*, not the vqgan grid
-        from PIL import Image
-
-        img = Image.open(self.paths[i]).convert("RGB").resize(
-            (self.w, self.h))
-        model_pixels = (np.asarray(img, np.float32) / 255.0
-                        ).transpose(2, 0, 1)
         return {"src_image": model_pixels, "mask": mask, "tgt": tgt,
                 "seg": np.ones(self.seq, np.int32)}
 

@@ -101,7 +101,8 @@ class PointwiseTrainer:
             step = int(meta.get("step", tree["step"]))
             # fast-forward the data stream: without this a resumed run
             # restarts at epoch 1 while keeping the restored step counter
-            start_epoch = min(step // steps_per_epoch + 1, cfg.epochs_num)
+            # past the last epoch -> resume is a no-op (empty range)
+            start_epoch = step // steps_per_epoch + 1
             skip_batches = step % steps_per_epoch
             self.logger.info(
                 f"resumed from {cfg.resume_path} @ step {step} "

@@ -235,8 +235,8 @@ class PPOTrainer:
             step = int(tree["step"])
             time_ctr = int(tree["time_ctr"])
             consumed = time_ctr // max(cfg.ppo.max_timesteps, 1)
-            start_epoch = min(consumed // steps_per_epoch + 1,
-                              cfg.epochs_num)
+            # past the last epoch -> resume is a no-op (empty range)
+            start_epoch = consumed // steps_per_epoch + 1
             skip_batches = consumed % steps_per_epoch
             self.logger.info(
                 f"resumed PPO from {cfg.resume_path} @ sweep {step} "
@@ -270,7 +270,6 @@ class PPOTrainer:
 
                 batch_iter = islice(batch_iter, skip_batches, None)
             for batch in batch_iter:
-                b = self.ctx.put(batch)
                 if device_memories is None:
                     # one sweep's batches fit under the HBM budget ->
                     # keep them device-resident: the sweep re-uploads
@@ -291,6 +290,14 @@ class PPOTrainer:
                             f"({per / 1e6:.0f} MB x {upd}); consider a "
                             f"bf16 loader dtype, smaller batch_size, "
                             f"or smaller update_timesteps")
+                if device_memories and must_copy:
+                    # shared-slot loaders recycle the batch's backing
+                    # memory after HOLDBACK yields; on the CPU backend
+                    # jnp.asarray can ALIAS that host buffer, so a
+                    # device-resident memory would silently change when
+                    # the worker reuses the slot — copy first
+                    batch = {k: np.array(v) for k, v in batch.items()}
+                b = self.ctx.put(batch)
                 bsz, tags = batch["tgts"].shape
                 state = jnp.asarray(np.broadcast_to(
                     np.arange(tags, dtype=np.int32), (bsz, tags)).copy())
@@ -319,8 +326,12 @@ class PPOTrainer:
                     if time_ctr % upd == 0:
                         # drop the rollout batch's device buffers before
                         # the sweep re-puts every memory batch — holding
-                        # them costs the update step ~0.6GB of HBM
-                        b = None
+                        # them costs the update step ~0.6GB of HBM; only
+                        # safe once this batch's timestep loop is done
+                        # (a sweep can fire mid-batch when max_timesteps
+                        # does not divide update_timesteps)
+                        if _t == cfg.ppo.max_timesteps - 1:
+                            b = None
                         key, sub = jax.random.split(key)
                         astate, cstate, agg = self._sweep(
                             update_step, astate, cstate, sub, memories)

@@ -110,7 +110,8 @@ class RewardTrainer:
             state = restore_train_state(self.ctx, tx, tree["params"],
                                         tree["opt_state"], tree["step"])
             step = int(meta.get("step", tree["step"]))
-            start_epoch = min(step // steps_per_epoch + 1, cfg.epochs_num)
+            # past the last epoch -> resume is a no-op (empty range)
+            start_epoch = step // steps_per_epoch + 1
             skip_batches = step % steps_per_epoch
             self.logger.info(
                 f"resumed from {cfg.resume_path} @ step {step} "

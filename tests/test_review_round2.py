@@ -1,0 +1,203 @@
+"""Regression tests for the round-2 self-review findings: PPO mid-batch
+sweep, ProcessLoader cross-epoch slot validity, BEiT grid alignment,
+8-bit WAV decode, T5 sentinel vocab growth, resume-after-completion,
+and epoch-fresh PPO pair sampling without dataset rebuild."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_movienet
+from lr2ppo_tpu.data.movienet import MovieNetDataset
+from lr2ppo_tpu.data.pipeline import Loader, ProcessLoader
+
+
+def test_ppo_sweep_mid_batch_timesteps(tmp_path):
+    # max_timesteps=3 with update_timesteps=2: the sweep fires on a
+    # batch's FIRST/SECOND timestep; the remaining timesteps must still
+    # see the batch (regression: b=None crashed the next rollout)
+    from lr2ppo_tpu.config import Config, ModelConfig, PPOConfig
+    from lr2ppo_tpu.train.ppo import PPOTrainer
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=4)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                          visual_feat_dim=16, num_heads=4,
+                          family="multimodal"),
+        ppo=PPOConfig(max_timesteps=3, update_timesteps=2),
+        epochs_num=1, batch_size=4, report_steps=1000,
+        output_model_path=str(tmp_path / "best.ckpt"), seed=0)
+    cfg.mesh.dp = 2
+
+    def mk(epoch):
+        ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, max_imgs=2,
+                             seed=epoch)
+        return Loader(ds, 4, shuffle=True, seed=epoch)
+
+    from lr2ppo_tpu.data import EvalLoader
+
+    ev = EvalLoader(MovieNetDataset(jp, hp, "eval", max_imgs=2),
+                    buckets=[8], batch_size=4)
+    astate, cstate, best = PPOTrainer(cfg).fit(mk, ev)
+    assert np.isfinite(best)
+    assert int(astate.step) >= 2          # at least two sweeps ran
+
+
+class _SlowDs:
+    def __init__(self, n=40):
+        self.n = n
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i):
+        return {"x": np.full(4, i + 1000 * self.epoch, np.float32)}
+
+
+def test_process_loader_batch_valid_across_epoch_boundary():
+    # the LAST batch of an epoch must stay valid while the next epoch's
+    # first batches are produced (regression: __iter__ re-freed the
+    # holdback slots, letting workers overwrite a held batch)
+    pl = ProcessLoader(_SlowDs(40), 4, shuffle=False, num_workers=2)
+    last = None
+    for b in pl:
+        last = b                     # keep the live shared-memory view
+    held = {k: np.array(v) for k, v in last.items()}   # snapshot
+
+    pl.set_epoch(1)
+    it = iter(pl)
+    first_new = next(it)             # workers are now filling slots
+    # the held batch from epoch 0 must be untouched
+    for k in held:
+        np.testing.assert_array_equal(held[k], np.array(last[k]))
+    # drain to let the pool settle, then close
+    for _ in it:
+        pass
+    pl.close()
+
+
+def test_beit_grid_align_remap_and_identity():
+    from lr2ppo_tpu.data.pretrain_processors import BeitImageDataset
+
+    ds = BeitImageDataset.__new__(BeitImageDataset)
+    ds.gh, ds.gw = 2, 2
+    # identity when the grids already coincide
+    np.testing.assert_array_equal(
+        ds._grid_align(np.arange(4)), np.arange(4))
+    # 4x4 token grid -> 2x2 patch grid: patch (r, c) takes the token of
+    # the SAME image region (rows/cols 0 and 2 of the finer grid)
+    np.testing.assert_array_equal(
+        ds._grid_align(np.arange(16)), np.array([0, 2, 8, 10]))
+
+
+def test_read_wav_8bit_unsigned(tmp_path):
+    import wave
+
+    from lr2ppo_tpu.data.pretrain_processors import read_wav
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    wav = np.sin(2 * np.pi * 13 * t)
+
+    p16 = tmp_path / "a16.wav"
+    with wave.open(str(p16), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(800)
+        w.writeframes((wav * 32767).astype(np.int16).tobytes())
+    p8 = tmp_path / "a8.wav"
+    with wave.open(str(p8), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(800)
+        w.writeframes((wav * 127 + 128).clip(0, 255)
+                      .astype(np.uint8).tobytes())
+
+    x16, _ = read_wav(str(p16))
+    x8, _ = read_wav(str(p8))
+    # 8-bit is unsigned PCM: decoded waveform must match the 16-bit one
+    # up to quantization error, not be flipped around the midpoint
+    assert np.abs(x8 - x16).max() < 0.02
+    assert np.corrcoef(x8, x16)[0, 1] > 0.999
+
+
+def test_t5_sentinel_start_explicit_grows_vocab(tmp_path):
+    # passing --sentinel_start explicitly (even past len(vocab), the
+    # documented default) must still grow the embedding to cover the
+    # sentinel ids (regression: explicit flag disabled the growth)
+    import json
+
+    from lr2ppo_tpu.cli import pretrain as P
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c d e f g h\n" * 24)
+    vocab = tmp_path / "v.txt"
+    toks = ["<s>", "<pad>", "</s>", "<unk>", "<mask>"] + list("abcdefgh")
+    vocab.write_text("".join(t + "\n" for t in toks))
+    tcfg = tmp_path / "tower.json"
+    tcfg.write_text(json.dumps({
+        "emb_size": 16, "hidden_size": 16, "feedforward_size": 32,
+        "heads_num": 4, "layers_num": 1, "max_seq_length": 32,
+        "dropout": 0.0, "embedding": ["word", "pos", "seg"],
+        "encoder": "transformer", "mask": "fully_visible",
+        "decoder": "transformer", "target": ["lm"],
+    }))
+    start = len(toks) + 7
+    best = P.main([
+        "--corpus_path", str(corpus), "--tower_config", str(tcfg),
+        "--data_processor", "t5", "--tokenizer", "space",
+        "--vocab_path", str(vocab),
+        "--output_model_path", str(tmp_path / "t5"),
+        "--batch_size", "2", "--seq_length", "16",
+        "--tgt_seq_length", "8", "--total_steps", "2",
+        "--report_steps", "2", "--sentinel_start", str(start),
+        "--dp", "2",
+    ])
+    assert np.isfinite(best)   # OOB sentinel embeds would NaN/clamp
+
+
+def test_resume_after_completion_is_noop(tmp_path):
+    from fixtures import make_letor_groups
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.data import (EvalLoader, LetorQueries, Loader,
+                                 LTRPointwiseDataset)
+    from lr2ppo_tpu.train.pointwise import PointwiseTrainer
+
+    groups = make_letor_groups(n_queries=8, docs=4, n_feat=16)
+    q = LetorQueries(groups)
+    ds = LTRPointwiseDataset(q)
+    train = Loader(ds, batch_size=4, shuffle=True, seed=0)
+    ev = EvalLoader(ds, buckets=[6], batch_size=4)
+
+    cfg = Config()
+    cfg = cfg.replace(
+        model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                          visual_feat_dim=16, num_heads=4,
+                          family="tabular"),
+        epochs_num=1, batch_size=4, report_steps=1000,
+        output_model_path=str(tmp_path / "best.ckpt"), seed=1,
+        save_state_steps=1)
+    cfg.mesh.dp = 2
+    tr = PointwiseTrainer(cfg)
+    state, _ = tr.fit(train, ev)
+    done = int(state.step)
+
+    cfg2 = cfg.replace(resume_path=str(tmp_path / "best.ckpt.state"))
+    state2, _ = PointwiseTrainer(cfg2).fit(train, ev)
+    # run already completed: resume must not train further
+    assert int(state2.step) == done
+
+
+def test_movienet_ppo_pairs_fresh_per_epoch(tmp_path):
+    jp, hp = make_movienet(tmp_path, n_items=3)
+    ds = MovieNetDataset(jp, hp, "ppo", max_tags=8, max_imgs=2, seed=0)
+    a = [ds.get(i)["tgts"].tolist() for i in range(len(ds))]
+    texts0 = ds.get(0)["text"].copy()
+    # same epoch: deterministic re-fetch (PPO sweep re-materialization)
+    np.testing.assert_array_equal(ds.get(0)["text"], texts0)
+    ds.set_epoch(1)
+    b = [ds.get(i)["tgts"].tolist() for i in range(len(ds))]
+    assert a != b                    # fresh pairs without a rebuild
