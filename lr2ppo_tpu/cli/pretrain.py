@@ -174,6 +174,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--hash_dropout", action="store_true",
+                   help="zero-residual hash dropout at every tower "
+                        "dropout site (ops/hash_dropout.py)")
     args = p.parse_args(argv)
 
     if args.tokenizer == "bpe":
@@ -206,7 +209,8 @@ def main(argv=None):
     tower_cfg = TowerConfig.from_json(
         args.tower_config, vocab_size=vocab_size,
         max_seq_length=max(args.seq_length,
-                           TowerConfig().max_seq_length))
+                           TowerConfig().max_seq_length),
+        **({"hash_dropout": True} if args.hash_dropout else {}))
     ds = str2dataset[args.data_processor](args.corpus_path, tok, args,
                                           tower_cfg)
     loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed,

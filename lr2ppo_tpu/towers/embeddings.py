@@ -253,4 +253,7 @@ class CompositeEmbedding(nn.Module):
             emb = cur if emb is None else emb + cur
         if not cfg.remove_embedding_layernorm:
             emb = RefLayerNorm(name="layer_norm")(emb)
-        return nn.Dropout(cfg.dropout)(emb, deterministic=deterministic)
+        from lr2ppo_tpu.ops.hash_dropout import module_dropout
+
+        return module_dropout(self, emb, cfg.dropout, deterministic,
+                              cfg.hash_dropout)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lr2ppo_tpu.models.layers import TorchDense
+from lr2ppo_tpu.ops.hash_dropout import module_dropout
 from lr2ppo_tpu.towers.layers import (
     RelativePositionEmbedding,
     TransformerLayer,
@@ -64,6 +65,7 @@ class TransformerEncoder(nn.Module):
                 attention_head_size=cfg.attention_head_size,
                 has_bias=not cfg.remove_transformer_bias,
                 with_scale=not cfg.remove_attention_scale,
+                hash_dropout=cfg.hash_dropout,
                 dtype=self.dtype, name=name)
 
         # key-only additive bias unlocks the fused pallas attention path
@@ -182,8 +184,10 @@ class _RecurrentEncoder(nn.Module):
                 outs.append(ys[:, ::-1] if direction else ys)
             x = jnp.concatenate(outs, axis=-1) if bidir else outs[0]
             if k < cfg.layers_num - 1:
-                x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
-        return nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+                x = module_dropout(self, x, cfg.dropout, deterministic,
+                                   cfg.hash_dropout)
+        return module_dropout(self, x, cfg.dropout, deterministic,
+                              cfg.hash_dropout)
 
 
 def RnnEncoder(cfg, dtype=None, name=None):

@@ -117,6 +117,7 @@ class MultiHeadedAttention(nn.Module):
     dropout: float = 0.1
     has_bias: bool = True
     with_scale: bool = True
+    hash_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -169,7 +170,10 @@ class MultiHeadedAttention(nn.Module):
             scores = scores + prev_attn
         prev_attn_out = scores
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype or q.dtype)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        from lr2ppo_tpu.ops.hash_dropout import module_dropout
+
+        probs = module_dropout(self, probs, self.dropout, deterministic,
+                               self.hash_dropout)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=self.dtype or jnp.float32)
         out = out.reshape(b, sq, inner)
@@ -279,6 +283,7 @@ class TransformerLayer(nn.Module):
     attention_head_size: Optional[int] = None
     has_bias: bool = True
     with_scale: bool = True
+    hash_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -290,7 +295,8 @@ class TransformerLayer(nn.Module):
         dh = self.attention_head_size or self.hidden_size // self.heads_num
         attn = MultiHeadedAttention(
             self.hidden_size, self.heads_num, dh, self.dropout,
-            self.has_bias, self.with_scale, self.dtype, name="self_attn")
+            self.has_bias, self.with_scale, self.hash_dropout,
+            self.dtype, name="self_attn")
         ffn_cls = (GatedFeedForward if self.feed_forward == "gated"
                    else PositionwiseFeedForward)
         ffn = ffn_cls(self.hidden_size, self.feedforward_size,
@@ -298,8 +304,10 @@ class TransformerLayer(nn.Module):
                       name="feed_forward")
         ln1 = make_layer_norm(self.layernorm, self.dtype, "layer_norm_1")
         ln2 = make_layer_norm(self.layernorm, self.dtype, "layer_norm_2")
-        drop = lambda x: nn.Dropout(self.dropout)(
-            x, deterministic=deterministic)
+        from lr2ppo_tpu.ops.hash_dropout import module_dropout
+
+        drop = lambda x: module_dropout(self, x, self.dropout,
+                                        deterministic, self.hash_dropout)
 
         if self.layernorm_positioning == "post":
             inter, prev_attn_out = attn(hidden, hidden, hidden, mask,

@@ -43,6 +43,9 @@ class TowerConfig:
     layers_num: int = 12
     max_seq_length: int = 512
     dropout: float = 0.1
+    # zero-residual hash dropout (ops/hash_dropout.py) instead of
+    # threefry nn.Dropout at every tower dropout site
+    hash_dropout: bool = False
     hidden_act: str = "gelu"
     vocab_size: int = 250002          # XLM-R default
     embedding: List[str] = field(default_factory=lambda: ["word", "pos", "seg"])
@@ -134,8 +137,10 @@ class TransformerDecoder(nn.Module):
         with_scale = not cfg.remove_attention_scale
         ffn_cls = (GatedFeedForward if cfg.feed_forward == "gated"
                    else PositionwiseFeedForward)
-        drop = lambda x: nn.Dropout(cfg.dropout)(
-            x, deterministic=deterministic)
+        from lr2ppo_tpu.ops.hash_dropout import module_dropout
+
+        drop = lambda x: module_dropout(self, x, cfg.dropout,
+                                        deterministic, cfg.hash_dropout)
 
         hidden = emb
         for i in range(cfg.layers_num):
@@ -143,10 +148,12 @@ class TransformerDecoder(nn.Module):
             name = f"transformer_decoder_{i}"
             self_attn = MultiHeadedAttention(
                 cfg.hidden_size, cfg.heads_num, dh, cfg.dropout, has_bias,
-                with_scale, self.dtype, name=f"{name}_self_attn")
+                with_scale, cfg.hash_dropout, self.dtype,
+                name=f"{name}_self_attn")
             ctx_attn = MultiHeadedAttention(
                 cfg.hidden_size, cfg.heads_num, dh, cfg.dropout, has_bias,
-                with_scale, self.dtype, name=f"{name}_context_attn")
+                with_scale, cfg.hash_dropout, self.dtype,
+                name=f"{name}_context_attn")
             ffn = ffn_cls(cfg.hidden_size, cfg.feedforward_size,
                           cfg.hidden_act, has_bias, self.dtype,
                           name=f"{name}_feed_forward")

@@ -67,6 +67,35 @@ def test_bf16_dtype_preserved():
     assert out.dtype == jnp.bfloat16
 
 
+def test_tower_flag_trains():
+    # every tower dropout site (embedding, attention probs, layer drops,
+    # decoder) routes through hash dropout when TowerConfig enables it
+    from lr2ppo_tpu.towers.model import TowerConfig, build_model
+
+    cfg = TowerConfig(emb_size=16, hidden_size=16, feedforward_size=32,
+                      heads_num=4, layers_num=2, max_seq_length=16,
+                      vocab_size=32, embedding=["word", "pos", "seg"],
+                      encoder="transformer", target=["mlm"],
+                      hash_dropout=True)
+    m = build_model(cfg)
+    src = jnp.ones((2, 8), jnp.int32)
+    seg = jnp.ones((2, 8), jnp.int32)
+    tgt = jnp.zeros((2, 8), jnp.int32).at[0, 1].set(3)
+    p = m.init(jax.random.PRNGKey(0), src, tgt, seg)
+
+    def loss(p, k):
+        out = m.apply(p, src, tgt, seg, deterministic=False,
+                      rngs={"dropout": k})
+        return out[0]
+
+    l1, g = jax.value_and_grad(loss)(p, jax.random.PRNGKey(1))
+    l2 = loss(p, jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert not np.allclose(float(l1), float(l2))
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(g))
+
+
 def test_xit_flag_trains():
     from lr2ppo_tpu.config import ModelConfig
     from lr2ppo_tpu.models import ScoreModel
