@@ -91,12 +91,15 @@ def movienet_train_loader(cfg: Config, mode: str, seed: int = 0) -> Loader:
                              seed=cfg.seed + seed,
                              num_workers=cfg.data.num_workers,
                              prefetch_depth=cfg.data.prefetch_depth)
-    # PPO retains batches in its memory buffer across the sweep, so it
-    # must not reuse collate buffers; the other stages consume-and-drop
+    # reuse_buffers for every stage: fresh multi-MB batch allocations
+    # page-fault ~4x slower than buffer reuse on this host class
+    # (measured 750 -> 3040 samples/s at PPO shapes). The PPO trainer
+    # detects loader.reuse_buffers and copies anything it retains across
+    # the sweep (train/ppo.py must_copy).
     return Loader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed + seed,
                   num_workers=cfg.data.num_workers,
                   prefetch_depth=cfg.data.prefetch_depth,
-                  reuse_buffers=(mode != "ppo"))
+                  reuse_buffers=True)
 
 
 def movienet_eval_loader(cfg: Config, mode: str = "eval",

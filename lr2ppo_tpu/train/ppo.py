@@ -261,9 +261,11 @@ class PPOTrainer:
         for epoch in range(start_epoch, cfg.epochs_num + 1):
             loader = make_train_loader(epoch)
             loader.set_epoch(epoch)
-            # shared-slot loaders (ProcessLoader) recycle batch memory;
-            # host-side memories retain batches across the sweep, so copy
-            must_copy = getattr(loader, "shared_slots", False)
+            # recycled-buffer loaders (ProcessLoader shared slots, thread
+            # Loader reuse_buffers) invalidate a batch after a few
+            # yields; anything retained across the sweep must be copied
+            must_copy = (getattr(loader, "shared_slots", False)
+                         or getattr(loader, "reuse_buffers", False))
             batch_iter = iter(loader)
             if epoch == start_epoch and skip_batches:
                 from itertools import islice
@@ -290,12 +292,13 @@ class PPOTrainer:
                             f"({per / 1e6:.0f} MB x {upd}); consider a "
                             f"bf16 loader dtype, smaller batch_size, "
                             f"or smaller update_timesteps")
-                if device_memories and must_copy:
-                    # shared-slot loaders recycle the batch's backing
-                    # memory after HOLDBACK yields; on the CPU backend
-                    # jnp.asarray can ALIAS that host buffer, so a
-                    # device-resident memory would silently change when
-                    # the worker reuses the slot — copy first
+                if (device_memories and must_copy
+                        and jax.default_backend() == "cpu"):
+                    # on the CPU backend jnp.asarray can ALIAS the
+                    # loader's recycled host buffer, so a device-resident
+                    # memory would silently change when the buffer is
+                    # reused — copy first. On a real accelerator put is a
+                    # true H2D copy, no host copy needed.
                     batch = {k: np.array(v) for k, v in batch.items()}
                 b = self.ctx.put(batch)
                 bsz, tags = batch["tgts"].shape

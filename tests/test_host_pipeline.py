@@ -112,10 +112,12 @@ def test_movienet_get_deterministic_per_epoch(tmp_path):
         "image shuffle must reseed with the epoch")
 
 
-@pytest.mark.parametrize("device_gb", [100.0, 0.0])
-def test_ppo_memory_residency_paths(tmp_path, device_gb):
+@pytest.mark.parametrize("device_gb,reuse", [(100.0, False), (0.0, False),
+                                             (100.0, True), (0.0, True)])
+def test_ppo_memory_residency_paths(tmp_path, device_gb, reuse):
     # device_gb=100 -> device-resident memories; 0 -> host memories.
-    # Both must train to finite losses on the fake mesh.
+    # reuse=True: the loader recycles batch buffers, so the trainer must
+    # copy whatever it retains (must_copy). All must train finitely.
     from lr2ppo_tpu.config import Config, ModelConfig
     from lr2ppo_tpu.train.ppo import PPOTrainer
 
@@ -134,7 +136,8 @@ def test_ppo_memory_residency_paths(tmp_path, device_gb):
     def make_train_loader(epoch):
         ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, max_imgs=2,
                              seed=epoch)
-        return Loader(ds, 4, shuffle=True, seed=epoch)
+        return Loader(ds, 4, shuffle=True, seed=epoch,
+                      reuse_buffers=reuse)
 
     from lr2ppo_tpu.data.pipeline import EvalLoader
 
