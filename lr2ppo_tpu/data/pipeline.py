@@ -75,6 +75,10 @@ class Loader:
         # batches (the PPO memory buffer) must leave this off.
         self.reuse_buffers = reuse_buffers
         self._pool: List[Dict[str, np.ndarray]] = []
+        # the previous __iter__'s (stop_event, executor, producer thread):
+        # a new iteration preempts it so no stale worker writes the
+        # shared slot pool while the new one collates into it
+        self._live = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -106,11 +110,37 @@ class Loader:
             batches.append(idx)
         return batches
 
+    def first_batch(self) -> Dict[str, np.ndarray]:
+        """One synchronously collated batch in FRESH buffers — for shape
+        probing / parameter init. Unlike `next(iter(loader))` it spins up
+        no prefetch machinery, so abandoning it leaves no worker racing
+        the next iteration for the reuse_buffers slot pool."""
+        n = len(self.ds)
+        idx = self._batch_indices()[0]
+        return _collate([self.ds.get(int(i) % n) for i in idx])
+
+    def _preempt(self) -> None:
+        """Stop the previous iteration's producer + workers and wait for
+        any running collation to finish, so its slot writes cannot race
+        the next iteration's."""
+        if self._live is None:
+            return
+        stop, pool, thread = self._live
+        self._live = None
+        stop.set()
+        try:
+            pool.shutdown(wait=True, cancel_futures=True)
+        except Exception:
+            pass
+        thread.join(timeout=5)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._preempt()
         batches = self._batch_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         stop = threading.Event()
+        self._live = None
         n = len(self.ds)
 
         def make_batch(idx, slot=None):
@@ -146,6 +176,17 @@ class Loader:
                 while len(self._pool) < len(slots):
                     self._pool.append({})
                 slots = self._pool
+            def put(obj) -> bool:
+                # stop-aware put: a preempted producer must not block
+                # forever on a full queue nobody drains
+                while not stop.is_set():
+                    try:
+                        q.put(obj, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 pending = []
                 it = iter(batches)
@@ -158,7 +199,8 @@ class Loader:
                 for idx in it:
                     if stop.is_set():
                         return
-                    q.put(pending[i].result())
+                    if not put(pending[i].result()):
+                        return
                     pending.append(pool.submit(
                         make_batch, idx,
                         slots[(i + window) % len(slots)]))
@@ -166,14 +208,21 @@ class Loader:
                 for f in pending[i:]:
                     if stop.is_set():
                         return
-                    q.put(f.result())
+                    if not put(f.result()):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        self._live = (stop, pool, t)
         try:
             while True:
                 item = q.get()
@@ -279,7 +328,7 @@ def _proc_worker(ds, specs, slot_names, bs, task_q, done_q):
         task = task_q.get()
         if task is None:
             break
-        k, slot, idx, epoch = task
+        gen, k, slot, idx, epoch = task
         if epoch != cur_epoch and hasattr(ds, "set_epoch"):
             ds.set_epoch(epoch)   # forked workers miss parent set_epoch
             cur_epoch = epoch
@@ -288,9 +337,10 @@ def _proc_worker(ds, specs, slot_names, bs, task_q, done_q):
                 item = ds.get(int(i) % n)
                 for key, v in item.items():
                     views[slot][key][r] = v
-            done_q.put((k, slot, int((np.asarray(idx) < 0).sum()), None))
+            done_q.put((gen, k, slot,
+                        int((np.asarray(idx) < 0).sum()), None))
         except Exception as e:  # surface to the parent
-            done_q.put((k, slot, 0, f"{type(e).__name__}: {e}"))
+            done_q.put((gen, k, slot, 0, f"{type(e).__name__}: {e}"))
     for shm_map in shms:
         for shm in shm_map.values():
             shm.close()
@@ -318,6 +368,11 @@ class ProcessLoader(Loader):
         super().__init__(dataset, batch_size, shuffle, seed,
                          num_workers, prefetch_depth, drop_last)
         self._pool = None  # (procs, task_q, done_q, views, finalizer)
+        # abandoned-iterator hygiene: dispatched tasks are tagged with a
+        # generation; a new __iter__ first drains every outstanding task
+        # so no stale worker is still writing the slots it reuses
+        self._gen = 0
+        self._outstanding = 0
 
     def _ensure_pool(self):
         if self._pool is not None:
@@ -390,6 +445,12 @@ class ProcessLoader(Loader):
 
         self._ensure_pool()
         _, task_q, done_q, views, _, n_slots = self._pool
+        # finish every straggler from an abandoned previous iteration
+        # before its slots are re-dispatched
+        self._gen += 1
+        while self._outstanding:
+            done_q.get()
+            self._outstanding -= 1
         batches = self._batch_indices()
         # carry the previous epoch's still-reserved slots: a consumer may
         # hold its last yielded batches across the epoch boundary
@@ -399,11 +460,15 @@ class ProcessLoader(Loader):
         dispatched = yielded = 0
         while yielded < len(batches):
             while free and dispatched < len(batches):
-                task_q.put((dispatched, free.popleft(),
+                task_q.put((self._gen, dispatched, free.popleft(),
                             np.asarray(batches[dispatched]), self.epoch))
+                self._outstanding += 1
                 dispatched += 1
             while yielded not in completed:
-                k, slot, wrapped, err = done_q.get()
+                gen, k, slot, wrapped, err = done_q.get()
+                self._outstanding -= 1
+                if gen != self._gen:
+                    continue            # straggler from a preempted run
                 if err is not None:
                     raise RuntimeError(f"ProcessLoader worker failed: {err}")
                 completed[k] = (slot, wrapped)

@@ -1,4 +1,5 @@
 from lr2ppo_tpu.ops.losses import (  # noqa: F401
+    cls_expected_scores,
     smooth_l1_loss,
     nll_3way_loss,
     rank_hinge_loss,

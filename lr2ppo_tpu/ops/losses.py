@@ -106,3 +106,11 @@ def log_sig_loss(chosen: Array, rejected: Array) -> Array:
     """
     probs = jax.nn.sigmoid(chosen - rejected)
     return -jnp.log(probs + 1e-10).mean()
+
+
+def cls_expected_scores(logits):
+    """'cls'-mode action scores = expected relevance over the 3 classes,
+    softmax(p)[1]*1 + softmax(p)[2]*2 (reference ppo.py:855-859). Shared
+    by the PPO rollout/update and the batched NDCG evaluator."""
+    p = jax.nn.softmax(logits, axis=-1)
+    return p[..., 1] * 1.0 + p[..., 2] * 2.0

@@ -237,10 +237,14 @@ def load_checkpoint(path: str):
 
 
 def load_any(path: str, kind: str = "single"):
-    """Load either a native checkpoint (pickle pytree, save_checkpoint)
-    or a reference torch .bin (import_pretrained). `kind` applies to the
-    torch path ('single' | 'actor_critic'); native ppo checkpoints
-    already carry {'actor','critic'} subtrees."""
+    """Load a native checkpoint (pickle pytree, save_checkpoint), an
+    orbax checkpoint directory, or a reference torch .bin
+    (import_pretrained). `kind` applies to the torch path
+    ('single' | 'actor_critic'); native ppo checkpoints already carry
+    {'actor','critic'} subtrees."""
+    if os.path.isdir(path):          # orbax backend writes a directory
+        tree, _meta = load_orbax_checkpoint(path)
+        return tree
     try:
         tree, _meta = load_checkpoint(path)
         return tree

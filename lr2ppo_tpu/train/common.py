@@ -116,3 +116,11 @@ class BestSaver:
         if self.logger:
             self.logger.info("Best val indicator until now!")
         return True
+
+
+def peek_batch(loader):
+    """First batch for shape probing / param init. Prefers the loader's
+    synchronous first_batch() — abandoning a started prefetch iterator
+    leaves workers racing the next iteration for the collate buffers."""
+    fb = getattr(loader, "first_batch", None)
+    return fb() if fb is not None else next(iter(loader))

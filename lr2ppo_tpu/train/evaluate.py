@@ -21,14 +21,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from lr2ppo_tpu.ops.ndcg import NDCG_AT_K_DEFAULT, AverageNDCGMeter, ndcg_from_scores
+from lr2ppo_tpu.ops.losses import cls_expected_scores
 
 
 @partial(jax.jit, static_argnums=(0,))
 def _scores_and_ndcg(model_apply, params, text, img, tgts, mask):
     scores = model_apply(params, text, img)         # (B, T) reg scores
     if scores.ndim == 3:                            # cls mode -> expected rel
-        probs = jax.nn.softmax(scores, axis=-1)
-        scores = probs[..., 1] * 1.0 + probs[..., 2] * 2.0
+        scores = cls_expected_scores(scores)
     rows = jax.vmap(
         lambda s, g, m: ndcg_from_scores(s, g, tuple(NDCG_AT_K_DEFAULT), m)
     )(scores, tgts, mask)
@@ -64,8 +64,12 @@ def evaluate_cases(model, params, dataset, eval_loader, out_path: str,
     meter = AverageNDCGMeter()
     cases = []
     for batch in eval_loader:
-        idx = np.asarray(batch.pop("_idx", np.full(
-            np.asarray(batch["mask"]).shape[0], -1, np.int64)))
+        if "_idx" not in batch:
+            raise ValueError(
+                "evaluate_cases needs per-row dataset indices; use an "
+                "EvalLoader (it emits '_idx') — a plain Loader would "
+                "silently produce an empty case dump")
+        idx = np.asarray(batch.pop("_idx"))
         if put is not None:
             dbatch = put(batch)
         else:

@@ -157,12 +157,18 @@ def make_schedule(name: str, base_lr: float, train_steps: int,
 
 
 def build_optimizer(optim_cfg, train_steps: int,
-                    lr: Optional[float] = None) -> optax.GradientTransformation:
+                    lr: Optional[float] = None,
+                    schedule_wrap=None) -> optax.GradientTransformation:
     """AdamW/Adafactor + schedule, mirroring build_optimizer
-    (ppo.py:378-419). `lr` overrides (actor vs critic learning rates)."""
+    (ppo.py:378-419). `lr` overrides (actor vs critic learning rates);
+    `schedule_wrap(sched) -> sched` remaps the step axis — PPO ticks its
+    schedulers once per update SWEEP, not per optimizer step
+    (ppo.py:612-613), via `lambda s: lambda t: s(t // upd)`."""
     base_lr = lr if lr is not None else optim_cfg.learning_rate
     sched = make_schedule(optim_cfg.scheduler, base_lr, train_steps,
                           optim_cfg.warmup)
+    if schedule_wrap is not None:
+        sched = schedule_wrap(sched)
     if optim_cfg.optimizer == "adafactor":
         return optax.adafactor(learning_rate=sched)
 

@@ -32,6 +32,7 @@ from lr2ppo_tpu.train.common import (
     apply_updates,
     init_state,
     load_state_tree,
+    peek_batch,
     restore_train_state,
 )
 from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
@@ -94,11 +95,15 @@ class PointwiseTrainer:
 
         step = 0
         start_epoch, skip_batches = 1, 0
+        resume_best = -np.inf
         if cfg.resume_path:
             tree, meta = load_state_tree(cfg.resume_path)
             state = restore_train_state(self.ctx, tx, tree["params"],
                                         tree["opt_state"], tree["step"])
             step = int(meta.get("step", tree["step"]))
+            # restore the best-metric watermark or a post-resume dip
+            # would overwrite the superior save-best checkpoint
+            resume_best = float(tree.get("best", -np.inf))
             # fast-forward the data stream: without this a resumed run
             # restarts at epoch 1 while keeping the restored step counter
             # past the last epoch -> resume is a no-op (empty range)
@@ -108,12 +113,13 @@ class PointwiseTrainer:
                 f"resumed from {cfg.resume_path} @ step {step} "
                 f"(epoch {start_epoch}, skipping {skip_batches} batches)")
         else:
-            first = next(iter(train_loader))
+            first = peek_batch(train_loader)
             params = self.init_params(first, cfg.seed)
             state = init_state(params, tx)
         train_step = make_train_step(self.model, tx, cfg.model.mode)
 
         saver = BestSaver(cfg.output_model_path, self.logger)
+        saver.best = max(saver.best, resume_best)
         trace = TraceWindow(cfg.profile_dir)
         key = jax.random.PRNGKey(cfg.seed + 1)
         result = {}
@@ -136,7 +142,8 @@ class PointwiseTrainer:
                     checkpoints.save_checkpoint(
                         cfg.output_model_path + ".state",
                         {"params": state.params,
-                         "opt_state": state.opt_state, "step": step},
+                         "opt_state": state.opt_state, "step": step,
+                         "best": saver.best},
                         {"step": step})
                 if step % cfg.report_steps == 0:
                     loss_v = check_finite(
@@ -144,12 +151,15 @@ class PointwiseTrainer:
                         checkpoint_hint=cfg.output_model_path)
                     self.logger.info(
                         f"epoch {epoch} step {step} loss {loss_v:.6f}")
-                    result = evaluate_ndcg(self.model, state.params,
-                                           eval_loader, put=self.ctx.put)
-                    self.logger.info("NDCG:" + format_ndcg(result))
-                    self.metrics.log(step, loss=loss_v,
-                                     ndcg_full=result[100000000])
-                    saver.maybe_save(result[100000000], state.params)
+                    if eval_loader is not None:
+                        result = evaluate_ndcg(self.model, state.params,
+                                               eval_loader, put=self.ctx.put)
+                        self.logger.info("NDCG:" + format_ndcg(result))
+                        self.metrics.log(step, loss=loss_v,
+                                         ndcg_full=result[100000000])
+                        saver.maybe_save(result[100000000], state.params)
+                    else:
+                        self.metrics.log(step, loss=loss_v)
             if eval_loader is not None:
                 result = evaluate_ndcg(self.model, state.params, eval_loader,
                                        put=self.ctx.put)
@@ -192,7 +202,7 @@ class TwoDataTrainer(PointwiseTrainer):
         steps_per_epoch = sum(len(l) for l in loaders)
         total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
         tx = build_optimizer(cfg.optim, total)
-        firsts = [next(iter(l)) for l in loaders]
+        firsts = [peek_batch(l) for l in loaders]
         params = self.init_params(firsts, cfg.seed)
         state = init_state(params, tx)
         train_step = make_train_step(self.model, tx, cfg.model.mode)

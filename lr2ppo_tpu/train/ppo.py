@@ -36,21 +36,18 @@ from lr2ppo_tpu.config import Config
 from lr2ppo_tpu.models import ScoreModel, SeqScoreModel
 from lr2ppo_tpu.ops import (
     categorical_entropy,
+    cls_expected_scores,
     categorical_kl,
     clipped_value_loss,
     rank_hinge_loss,
 )
 from lr2ppo_tpu.train import checkpoints
-from lr2ppo_tpu.train.common import BestSaver, DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.common import (
+    BestSaver, DeviceCtx, TrainState, apply_updates, init_state,
+    peek_batch)
 from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
-from lr2ppo_tpu.train.optim import make_schedule
+from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
-
-
-def cls_expected_scores(logits: jnp.ndarray) -> jnp.ndarray:
-    """'cls' mode action scores = expected relevance (ppo.py:855-859)."""
-    p = jax.nn.softmax(logits, axis=-1)
-    return p[..., 1] * 1.0 + p[..., 2] * 2.0
 
 
 def make_rollout_step(actor: ScoreModel, critic: SeqScoreModel,
@@ -148,20 +145,36 @@ class PPOTrainer:
                              cast_dtype=cfg.mesh.compute_dtype)
 
     # -- parameter loading (key contract: ppo.py:769-771) ---------------
-    def init_params(self, sample_batch, seed: int):
+    def init_params(self, sample_batch, seed: int, reward_only: bool = False):
+        """Build (actor, critic, reward) param trees; `reward_only`
+        skips the actor/critic work (resume restores those from the
+        .state checkpoint, so loading the multi-GB actor ckpt — or
+        jit-initializing two extra models — would be thrown away)."""
         cfg = self.cfg
         key = jax.random.PRNGKey(seed)
         b = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         idx4 = jnp.zeros((b["text"].shape[0], 4), jnp.int32)
         ka, kc, kr = jax.random.split(key, 3)
-        if cfg.pretrained_model_path:
-            actor_p = checkpoints.load_any(cfg.pretrained_model_path)
-        else:
-            actor_p = self.actor.init(ka, b["text"], b.get("img"))
+        actor_p = None
+        if not reward_only:
+            if cfg.pretrained_model_path:
+                actor_p = checkpoints.load_any(cfg.pretrained_model_path)
+            else:
+                actor_p = self.actor.init(ka, b["text"], b.get("img"))
         if cfg.reward_model_path:
-            # stage-2 ckpt initializes BOTH critic and reward
+            # stage-2 ckpt initializes BOTH critic and reward: one
+            # deserialization serves both. Reward must OWN its buffers
+            # (jnp.array copies) — the update step donates the critic's,
+            # and a shared buffer would be deleted under the frozen
+            # reward model after the first sweep.
             critic_p = checkpoints.load_any(cfg.reward_model_path)
-            reward_p = checkpoints.load_any(cfg.reward_model_path)
+            if reward_only:          # critic comes from the .state resume
+                critic_p, reward_p = None, critic_p
+            else:
+                reward_p = jax.tree.map(jnp.array, critic_p)
+        elif reward_only:
+            critic_p = None
+            reward_p = self.reward.init(kr, b["text"], b.get("img"), idx4)
         else:
             critic_p = self.critic.init(kc, b["text"], b.get("img"), idx4)
             reward_p = self.reward.init(kr, b["text"], b.get("img"), idx4)
@@ -172,9 +185,10 @@ class PPOTrainer:
             reward_p = jax.tree.map(
                 lambda x: x.astype(self.ctx.cast_dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, reward_p)
-        return (self.ctx.place_params(actor_p),
-                self.ctx.place_params(critic_p),
-                self.ctx.place_params(reward_p))
+        place = self.ctx.place_params
+        return (None if actor_p is None else place(actor_p),
+                None if critic_p is None else place(critic_p),
+                place(reward_p))
 
     def fit(self, make_train_loader, eval_loader,
             train_steps: Optional[int] = None):
@@ -186,37 +200,19 @@ class PPOTrainer:
         total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
         upd = cfg.ppo.update_timesteps
 
-        # schedulers tick once per sweep (ppo.py:612-613)
-        def sweep_sched(base_lr):
-            s = make_schedule(cfg.optim.scheduler, base_lr, total,
-                              cfg.optim.warmup)
-            return lambda t: s(t // upd)
-
-        import optax
-
-        from lr2ppo_tpu.train.optim import decay_mask, scale_by_adam_hf
-
-        md = cfg.optim.moment_dtype
-
+        # schedulers tick once per sweep (ppo.py:612-613): remap the
+        # optimizer-step axis to sweeps inside the shared builder
         def mk(base_lr):
-            chain = [
-                scale_by_adam_hf(cfg.optim.beta1, cfg.optim.beta2,
-                                 cfg.optim.adam_eps, cfg.optim.correct_bias,
-                                 jnp.dtype(md) if md else None),
-                optax.add_decayed_weights(cfg.optim.weight_decay,
-                                          mask=decay_mask),
-                optax.scale_by_learning_rate(sweep_sched(base_lr)),
-            ]
-            if cfg.optim.grad_clip:
-                chain.insert(0, optax.clip_by_global_norm(
-                    cfg.optim.grad_clip))
-            return optax.chain(*chain)
+            return build_optimizer(
+                cfg.optim, total, lr=base_lr,
+                schedule_wrap=lambda s: (lambda t: s(t // upd)))
         atx, ctx_tx = mk(cfg.optim.learning_rate), mk(
             cfg.optim.critic_learning_rate)
 
-        first = next(iter(loader0))
+        first = peek_batch(loader0)
         start_epoch, skip_batches = 1, 0
         time_ctr, step = 0, 0
+        resume_best = -np.inf
         if cfg.resume_path:
             # full PPO resume (reference has save-best only): both train
             # states + the rollout/sweep counters, with the data stream
@@ -231,9 +227,11 @@ class PPOTrainer:
             cstate = restore_train_state(
                 self.ctx, ctx_tx, tree["critic"]["params"],
                 tree["critic"]["opt_state"], tree["astep"])
-            _, _, reward_p = self.init_params(first, cfg.seed)
+            _, _, reward_p = self.init_params(first, cfg.seed,
+                                              reward_only=True)
             step = int(tree["step"])
             time_ctr = int(tree["time_ctr"])
+            resume_best = float(tree.get("best", -np.inf))
             consumed = time_ctr // max(cfg.ppo.max_timesteps, 1)
             # past the last epoch -> resume is a no-op (empty range)
             start_epoch = consumed // steps_per_epoch + 1
@@ -251,8 +249,10 @@ class PPOTrainer:
         update_step = make_update_step(self.actor, self.critic, atx, ctx_tx,
                                        cfg)
         saver = BestSaver(cfg.output_model_path, self.logger)
+        saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 2)
         memories: List[dict] = []
+        pending_save = False
         self.logger.info(
             f"Start PPO: {steps_per_epoch} rollout steps/epoch, "
             f"update every {upd}")
@@ -277,9 +277,19 @@ class PPOTrainer:
                     # keep them device-resident: the sweep re-uploads
                     # NOTHING (the reference also kept memories on GPU,
                     # ppo.py:882-883). Otherwise host numpy (+ guard).
-                    per = sum(np.asarray(v).nbytes
-                              for v in batch.values())
-                    projected = per * upd / 1e9
+                    # A sweep holds upd/max_timesteps DISTINCT batches
+                    # (all of one batch's timesteps share its buffers),
+                    # stored at the compute dtype after put's cast.
+                    def _put_bytes(v):
+                        a = np.asarray(v)
+                        if (self.ctx.cast_dtype is not None
+                                and np.issubdtype(a.dtype, np.floating)):
+                            return a.size * jnp.dtype(
+                                self.ctx.cast_dtype).itemsize
+                        return a.nbytes
+                    per = sum(_put_bytes(v) for v in batch.values())
+                    distinct = max(upd // max(cfg.ppo.max_timesteps, 1), 1)
+                    projected = per * distinct / 1e9
                     device_memories = (
                         projected <= cfg.ppo.device_memory_gb)
                     self.logger.info(
@@ -289,8 +299,8 @@ class PPOTrainer:
                         self.logger.warning(
                             f"PPO memory buffer will hold ~"
                             f"{projected:.1f} GB of host batches "
-                            f"({per / 1e6:.0f} MB x {upd}); consider a "
-                            f"bf16 loader dtype, smaller batch_size, "
+                            f"({per / 1e6:.0f} MB x {distinct}); consider "
+                            f"a bf16 loader dtype, smaller batch_size, "
                             f"or smaller update_timesteps")
                 if (device_memories and must_copy
                         and jax.default_backend() == "cpu"):
@@ -301,6 +311,12 @@ class PPOTrainer:
                     # true H2D copy, no host copy needed.
                     batch = {k: np.array(v) for k, v in batch.items()}
                 b = self.ctx.put(batch)
+                if not device_memories:
+                    # ONE retained host copy per batch, shared by all of
+                    # its timesteps' memories
+                    host_batch = ({k: np.array(v)
+                                   for k, v in batch.items()}
+                                  if must_copy else batch)
                 bsz, tags = batch["tgts"].shape
                 state = jnp.asarray(np.broadcast_to(
                     np.arange(tags, dtype=np.int32), (bsz, tags)).copy())
@@ -315,9 +331,7 @@ class PPOTrainer:
                         })
                     else:
                         memories.append({
-                            "batch": ({k: np.array(v)
-                                       for k, v in batch.items()}
-                                      if must_copy else batch),
+                            "batch": host_batch,
                             "state": np.asarray(state),
                             "next_state": np.asarray(next_state),
                             "old_scores": np.asarray(scores),
@@ -342,15 +356,11 @@ class PPOTrainer:
                         step += 1
                         if (cfg.save_state_steps
                                 and step % cfg.save_state_steps == 0):
-                            checkpoints.save_checkpoint(
-                                cfg.output_model_path + ".state",
-                                {"actor": {"params": astate.params,
-                                           "opt_state": astate.opt_state},
-                                 "critic": {"params": cstate.params,
-                                            "opt_state": cstate.opt_state},
-                                 "astep": int(astate.step),
-                                 "step": step, "time_ctr": time_ctr},
-                                {"step": step})
+                            # defer to a batch boundary with an empty
+                            # memory buffer so the restored counters
+                            # describe a clean resume point (a mid-batch
+                            # save would replay already-swept timesteps)
+                            pending_save = True
                         from lr2ppo_tpu.utils import check_finite
 
                         check_finite(agg["policy_loss"], step, "policy_loss",
@@ -369,6 +379,20 @@ class PPOTrainer:
                         saver.maybe_save(
                             result[100000000],
                             {"actor": astate.params, "critic": cstate.params})
+                if pending_save and not memories:
+                    # batch boundary + drained memory buffer: the
+                    # (step, time_ctr) pair resumes exactly here
+                    checkpoints.save_checkpoint(
+                        cfg.output_model_path + ".state",
+                        {"actor": {"params": astate.params,
+                                   "opt_state": astate.opt_state},
+                         "critic": {"params": cstate.params,
+                                    "opt_state": cstate.opt_state},
+                         "astep": int(astate.step),
+                         "step": step, "time_ctr": time_ctr,
+                         "best": saver.best},
+                        {"step": step})
+                    pending_save = False
         self.logger.info(f"Best NDCG: {saver.best}")
         return astate, cstate, saver.best
 

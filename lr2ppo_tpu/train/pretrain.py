@@ -22,7 +22,8 @@ import numpy as np
 from lr2ppo_tpu.config import Config
 from lr2ppo_tpu.towers.model import TowerConfig, TowerModel
 from lr2ppo_tpu.train import checkpoints
-from lr2ppo_tpu.train.common import DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.common import (
+    DeviceCtx, TrainState, apply_updates, init_state, peek_batch)
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
 
@@ -168,7 +169,7 @@ class PretrainTrainer:
         cfg = self.cfg
         total = total_steps or len(train_loader) * cfg.epochs_num
         tx = build_optimizer(cfg.optim, total)
-        first = next(iter(train_loader))
+        first = peek_batch(train_loader)
         micro = {k: v[: v.shape[0] // self.accum]
                  for k, v in first.items() if not k.startswith("_")}
         state = init_state(self.init_params(micro), tx)

@@ -20,7 +20,9 @@ from lr2ppo_tpu.config import Config
 from lr2ppo_tpu.models import SeqScoreModel
 from lr2ppo_tpu.ops import reward_pair_hinge_loss
 from lr2ppo_tpu.train import checkpoints
-from lr2ppo_tpu.train.common import BestSaver, DeviceCtx, TrainState, apply_updates, init_state
+from lr2ppo_tpu.train.common import (
+    BestSaver, DeviceCtx, TrainState, apply_updates, init_state,
+    peek_batch)
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
 
@@ -102,6 +104,7 @@ class RewardTrainer:
         total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
         tx = build_optimizer(cfg.optim, total)
         step, start_epoch, skip_batches = 0, 1, 0
+        resume_best = -np.inf
         if cfg.resume_path:
             from lr2ppo_tpu.train.common import (
                 load_state_tree, restore_train_state)
@@ -110,6 +113,7 @@ class RewardTrainer:
             state = restore_train_state(self.ctx, tx, tree["params"],
                                         tree["opt_state"], tree["step"])
             step = int(meta.get("step", tree["step"]))
+            resume_best = float(tree.get("best", -np.inf))
             # past the last epoch -> resume is a no-op (empty range)
             start_epoch = step // steps_per_epoch + 1
             skip_batches = step % steps_per_epoch
@@ -117,10 +121,11 @@ class RewardTrainer:
                 f"resumed from {cfg.resume_path} @ step {step} "
                 f"(epoch {start_epoch}, skipping {skip_batches} batches)")
         else:
-            first = next(iter(train_loader))
+            first = peek_batch(train_loader)
             state = init_state(self.init_params(first, cfg.seed), tx)
         train_step = make_train_step(self.model, tx, self.margin)
         saver = BestSaver(cfg.output_model_path, self.logger)
+        saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 1)
         for epoch in range(start_epoch, cfg.epochs_num + 1):
             train_loader.set_epoch(epoch)
@@ -140,7 +145,8 @@ class RewardTrainer:
                     checkpoints.save_checkpoint(
                         cfg.output_model_path + ".state",
                         {"params": state.params,
-                         "opt_state": state.opt_state, "step": step},
+                         "opt_state": state.opt_state, "step": step,
+                         "best": saver.best},
                         {"step": step})
                 if step % cfg.report_steps == 0:
                     self.logger.info(

@@ -191,6 +191,106 @@ def test_resume_after_completion_is_noop(tmp_path):
     assert int(state2.step) == done
 
 
+def test_loader_abandoned_iterator_does_not_corrupt_next_epoch():
+    # next(iter(loader)) then abandoning used to leave running collation
+    # workers writing the reuse_buffers slot pool while the next
+    # iteration collated into the same slots
+    ds = _SlowDs(64)
+    ref = Loader(_SlowDs(64), 8, shuffle=True, seed=1, reuse_buffers=True)
+    expect = [{k: np.array(v) for k, v in b.items()} for b in ref]
+
+    ld = Loader(ds, 8, shuffle=True, seed=1, reuse_buffers=True)
+    next(iter(ld))                       # abandon a started iteration
+    got = [{k: np.array(v) for k, v in b.items()} for b in ld]
+    assert len(got) == len(expect)
+    for a, b in zip(expect, got):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_loader_first_batch_matches_iteration():
+    ld = Loader(_SlowDs(24), 8, shuffle=True, seed=5, reuse_buffers=True)
+    fb = {k: np.array(v) for k, v in ld.first_batch().items()}
+    it_first = next(iter(ld))
+    for k in fb:
+        np.testing.assert_array_equal(fb[k], np.array(it_first[k]))
+
+
+def test_process_loader_abandoned_iterator_drains():
+    pl = ProcessLoader(_SlowDs(40), 4, shuffle=False, num_workers=2)
+    ref = [{k: np.array(v) for k, v in b.items()} for b in pl]
+    next(iter(pl))                       # abandon mid-flight dispatches
+    got = [{k: np.array(v) for k, v in b.items()} for b in pl]
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    pl.close()
+
+
+def test_state_checkpoint_carries_best_watermark(tmp_path):
+    from fixtures import make_letor_groups
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.data import (EvalLoader, LetorQueries, Loader,
+                                 LTRPointwiseDataset)
+    from lr2ppo_tpu.train.common import load_state_tree
+    from lr2ppo_tpu.train.pointwise import PointwiseTrainer
+
+    q = LetorQueries(make_letor_groups(n_queries=8, docs=4, n_feat=16))
+    ds = LTRPointwiseDataset(q)
+    train = Loader(ds, batch_size=4, shuffle=True, seed=0)
+    ev = EvalLoader(ds, buckets=[6], batch_size=4)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                          visual_feat_dim=16, num_heads=4,
+                          family="tabular"),
+        epochs_num=1, batch_size=4, report_steps=1000,
+        output_model_path=str(tmp_path / "best.ckpt"), seed=1,
+        save_state_steps=2)
+    cfg.mesh.dp = 2
+    state, best = PointwiseTrainer(cfg).fit(train, ev)
+    tree, _ = load_state_tree(str(tmp_path / "best.ckpt.state"))
+    # the periodic state carries the best-metric watermark so a resumed
+    # run cannot overwrite a superior save-best checkpoint
+    assert "best" in tree
+
+
+def test_load_any_reads_orbax_directory(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.train import checkpoints
+
+    tree = {"params": {"w": jnp.ones((3, 2))}}
+    path = str(tmp_path / "ck")
+    checkpoints.save_checkpoint(path, tree, {"step": 1}, backend="orbax")
+    got = checkpoints.load_any(path)
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                  np.ones((3, 2)))
+
+
+def test_pointwise_trains_without_eval_loader(tmp_path):
+    from fixtures import make_letor_groups
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.data import LetorQueries, Loader, LTRPointwiseDataset
+    from lr2ppo_tpu.train.pointwise import PointwiseTrainer
+
+    q = LetorQueries(make_letor_groups(n_queries=8, docs=4, n_feat=16))
+    ds = LTRPointwiseDataset(q)
+    train = Loader(ds, batch_size=4, shuffle=True, seed=0)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                          visual_feat_dim=16, num_heads=4,
+                          family="tabular"),
+        epochs_num=1, batch_size=4, report_steps=1,   # eval every step
+        output_model_path="", seed=1)
+    cfg.mesh.dp = 2
+    state, _ = PointwiseTrainer(cfg).fit(train, None)
+    assert int(state.step) == len(train)
+
+
 def test_movienet_ppo_pairs_fresh_per_epoch(tmp_path):
     jp, hp = make_movienet(tmp_path, n_items=3)
     ds = MovieNetDataset(jp, hp, "ppo", max_tags=8, max_imgs=2, seed=0)
