@@ -31,7 +31,9 @@ def main(argv=None) -> float:
                for q in (qa, qb)]
     evs = []
     for p in (cfg.data.dev_path, cfg.data.dev_path2):
-        q = letor_queries(p)
+        # eval must pick test.h5 from directory-style paths (the split
+        # default is 'train' — see letor_queries's docstring warning)
+        q = letor_queries(p, "test")
         docs = max(g.shape[0] for g in q.groups.values())
         evs.append(EvalLoader(LTRPointwiseDataset(q), buckets=[docs],
                               batch_size=cfg.batch_size))

@@ -7,8 +7,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import h5_path_for, movienet_eval_loader
-from lr2ppo_tpu.data import MovieNetDataset
+from lr2ppo_tpu.cli._common import movienet_eval_loader
 from lr2ppo_tpu.models import ScoreModel
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.evaluate import evaluate_cases, format_ndcg
@@ -23,10 +22,10 @@ def main(argv=None):
     actor_params = tree["actor"] if "actor" in tree else tree
     model = ScoreModel(cfg.model, jnp.dtype(cfg.mesh.compute_dtype))
     path = cfg.data.dev_path or cfg.data.test_path
-    ds = MovieNetDataset(path, h5_path_for(path, cfg), "eval",
-                         max_imgs=cfg.data.max_imgs, seed=cfg.seed)
+    # reuse the loader's dataset for the case dump — a second
+    # MovieNetDataset would re-parse the JSON and duplicate h5 handles
     ev = movienet_eval_loader(cfg, path=path)
-    result = evaluate_cases(model, actor_params, ds, ev,
+    result = evaluate_cases(model, actor_params, ev.ds, ev,
                             cfg.data.case_path)
     logger.info("NDCG:" + format_ndcg(result))
     return result

@@ -41,8 +41,17 @@ from lr2ppo_tpu.train.pretrain import PretrainTrainer
 
 
 def _mask_id(tok):
-    return tok.vocab.get(tok.specials.get("mask_token", "<mask>"),
-                         len(tok.vocab) - 1)
+    name = tok.specials.get("mask_token", "<mask>")
+    mid = tok.vocab.get(name)
+    if mid is None:
+        # a silent fallback would conflate a REAL token (e.g. GPT-2's
+        # <|endoftext|>, the last vocab row) with the mask sentinel
+        raise SystemExit(
+            f"tokenizer vocab has no mask token ({name!r}); masked "
+            f"pretraining needs one — add it to the vocab or pick a "
+            f"tokenizer that defines it (the reference's MLM recipes "
+            f"all use mask-bearing vocabs)")
+    return mid
 
 
 # data_processor -> dataset builder (the reference's str2trainer /

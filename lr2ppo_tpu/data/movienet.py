@@ -202,7 +202,6 @@ class MovieNetDataset:
         if self._ram is not None:
             text_all, img_all = self._ram[iid]
             text = text_all[idx]
-            img_all = img_all
         else:
             grp = self.h5[str(iid)]
             # partial-row read: a 2-tag PPO sample must not pull the whole

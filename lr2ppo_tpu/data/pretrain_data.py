@@ -55,7 +55,7 @@ class MlmCorpusDataset:
         self.mlm_prob = mlm_prob
         self.special_limit = special_limit
 
-        rows = []
+        rows, lens = [], []
         with open(corpus_path, encoding="utf-8") as f:
             buf = [cls_id]
             for line in f:
@@ -65,11 +65,17 @@ class MlmCorpusDataset:
                 buf.extend(ids + [sep_id])
                 while len(buf) >= seq_length:
                     rows.append(buf[:seq_length])
+                    lens.append(seq_length)
                     buf = [cls_id] + buf[seq_length:]
             if len(buf) > 1:
                 rows.append(buf + [pad_id] * (seq_length - len(buf)))
+                lens.append(len(buf))
         self.ids = np.asarray(rows, np.int32)
-        self.seg = (self.ids != pad_id).astype(np.int32)
+        # seg from the TRUE lengths, never by value-matching pad_id: a
+        # real token whose id equals pad_id (e.g. GPT-2 BPE id 1 = '"')
+        # must not be masked out of attention/targets mid-sequence
+        self.seg = (np.arange(seq_length)[None, :]
+                    < np.asarray(lens, np.int32)[:, None]).astype(np.int32)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

@@ -878,14 +878,20 @@ class DalleDataset:
             self._cache[i] = self.image_tok.tokenize_images(px[None])[0]
         ids = [CLS] + self.tok.encode(text)[: self.text_len - 2] + [SEP]
         S = self.text_len + self.n_img
+        # reference packing (dataloader.py:922-928): text tokens, image
+        # tokens IMMEDIATELY after (no mid-sequence pad gap — the
+        # text->image transition is a learned prediction), pads at the
+        # end; tgt = src[1:] ++ [SEP], so the last image token targets
+        # SEP (the stopping signal) and the pad tail contributes nothing
+        n_real = len(ids) + self.n_img
         src = np.full(S, PAD, np.int32)
         seg = np.zeros(S, np.int32)
         src[: len(ids)] = ids
         seg[: len(ids)] = 1
-        src[self.text_len:] = self._cache[i] + self.bias
-        seg[self.text_len:] = 2
+        src[len(ids): n_real] = self._cache[i] + self.bias
+        seg[len(ids): n_real] = 2
         tgt = np.zeros(S, np.int32)
         tgt[: S - 1] = src[1:]
-        tgt[S - 1] = SEP
-        tgt[np.concatenate([seg[1:], [0]]) == 0] = 0  # pad region excluded
+        tgt[n_real - 1] = SEP
+        tgt[n_real:] = 0
         return {"src": src, "tgt": tgt, "seg": seg}

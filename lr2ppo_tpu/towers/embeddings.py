@@ -74,12 +74,17 @@ class SinusoidalposEmbedding(nn.Module):
     emb_size: int
 
     def _table(self) -> jnp.ndarray:
+        # +2 rows: __call__ reads rows [2, s+2) — the reference builds
+        # only max_seq_length rows and CRASHES on sequences within 2 of
+        # the limit (sinusoidalpos_embedding.py:30-36,67); sizing the
+        # table for the shift is the only deviation
+        rows = self.max_seq_length + 2
         half = self.emb_size // 2
         value = math.log(10000.0) / (half - 1)
         half_exp = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -value)
-        half_mat = (jnp.arange(self.max_seq_length, dtype=jnp.float32)[:, None]
+        half_mat = (jnp.arange(rows, dtype=jnp.float32)[:, None]
                     * half_exp[None, :])
-        emb = jnp.zeros((self.max_seq_length, self.emb_size), jnp.float32)
+        emb = jnp.zeros((rows, self.emb_size), jnp.float32)
         emb = emb.at[:, 0::2].set(jnp.sin(half_mat))
         emb = emb.at[:, 1::2].set(jnp.cos(half_mat))
         return emb
@@ -88,6 +93,9 @@ class SinusoidalposEmbedding(nn.Module):
     def __call__(self, src: Array, seg: Array) -> Array:
         b, s = seg.shape
         table = self._table()
+        # seg.sum, not (seg>0).sum: faithful to the reference's
+        # no_pad_num (sinusoidalpos_embedding.py:59), which double-counts
+        # segment-2 tokens by design
         no_pad = seg.sum(axis=-1)                     # (B,)
         pos = jnp.arange(s)[None, :]                  # (1, S)
         emb = table[2: s + 2][None]                   # row i -> table[i+2]

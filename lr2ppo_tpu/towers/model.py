@@ -142,6 +142,17 @@ class TransformerDecoder(nn.Module):
         drop = lambda x: module_dropout(self, x, cfg.dropout,
                                         deterministic, cfg.hash_dropout)
 
+        # decoder self-attention relative position bias (reference
+        # transformer_decoder.py:37-38,66-69: bidirectional=False)
+        self_position_bias = None
+        if cfg.relative_position_embedding:
+            from lr2ppo_tpu.towers.layers import RelativePositionEmbedding
+
+            self_position_bias = RelativePositionEmbedding(
+                heads_num=cfg.heads_num, bidirectional=False,
+                num_buckets=cfg.relative_attention_buckets_num,
+                name="self_pos_emb")(s_tgt, s_tgt)
+
         hidden = emb
         for i in range(cfg.layers_num):
             pre = cfg.layernorm_positioning == "pre"
@@ -157,12 +168,16 @@ class TransformerDecoder(nn.Module):
             ffn = ffn_cls(cfg.hidden_size, cfg.feedforward_size,
                           cfg.hidden_act, has_bias, self.dtype,
                           name=f"{name}_feed_forward")
-            ln1 = make_layer_norm(cfg.layernorm, self.dtype, f"{name}_ln1")
-            ln2 = make_layer_norm(cfg.layernorm, self.dtype, f"{name}_ln2")
-            ln3 = make_layer_norm(cfg.layernorm, self.dtype, f"{name}_ln3")
+            ln1 = make_layer_norm(cfg.layernorm, self.dtype,
+                                  f"{name}_layer_norm_1")
+            ln2 = make_layer_norm(cfg.layernorm, self.dtype,
+                                  f"{name}_layer_norm_2")
+            ln3 = make_layer_norm(cfg.layernorm, self.dtype,
+                                  f"{name}_layer_norm_3")
             if pre:
                 q, _ = self_attn(ln1(hidden), ln1(hidden), ln1(hidden),
-                                 mask_dec, deterministic=deterministic)
+                                 mask_dec, self_position_bias,
+                                 deterministic=deterministic)
                 query = drop(q) + hidden
                 qn = ln2(query)
                 mid, _ = ctx_attn(memory_bank, memory_bank, qn, mask_enc,
@@ -171,12 +186,18 @@ class TransformerDecoder(nn.Module):
                 hidden = drop(ffn(ln3(mid))) + mid
             else:
                 q, _ = self_attn(hidden, hidden, hidden, mask_dec,
+                                 self_position_bias,
                                  deterministic=deterministic)
                 qn = ln1(drop(q) + hidden)
                 mid, _ = ctx_attn(memory_bank, memory_bank, qn, mask_enc,
                                   deterministic=deterministic)
                 mn = ln2(drop(mid) + qn)
                 hidden = ln3(drop(ffn(mn)) + mn)
+        if cfg.layernorm_positioning == "pre":
+            # reference transformer_decoder.py:90-91: final norm for
+            # pre-LN stacks before the LM head
+            return make_layer_norm(cfg.layernorm, self.dtype,
+                                   "layer_norm")(hidden)
         return hidden
 
 

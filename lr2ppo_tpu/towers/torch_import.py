@@ -41,6 +41,13 @@ def _route_tower_key(key: str):
         else:
             out.append(p)
             i += 1
+    # decoder keys: the flax attr is `decoder_mod` and its layer modules
+    # are FLAT names (`transformer_decoder_0_self_attn`, ..._layer_norm_1)
+    # while the torch tree nests (`decoder.transformer_decoder.0.self_attn`)
+    if out and out[0] == "decoder":
+        out[0] = "decoder_mod"
+        if len(out) > 2 and out[1].startswith("transformer_decoder_"):
+            out[1:3] = [out[1] + "_" + out[2]]
     return out
 
 

@@ -228,14 +228,20 @@ def test_dalle_dataset(tmp_path):
                       itok, text_seq_length=8, vocab_bias=VOCAB)
     it = ds.get(0)
     n_img = itok.cfg.tokens_per_image
+    n_text = 4                               # [CLS] a b [SEP]
     assert it["src"].shape == (8 + n_img,)
-    assert (it["seg"][8:] == 2).all()
-    assert (it["src"][8:] >= VOCAB).all()    # image ids offset past text
-    # causal shift: tgt[j] == src[j+1] wherever src[j+1] is real
-    real_next = np.concatenate([it["seg"][1:], [0]]) > 0
-    np.testing.assert_array_equal(it["tgt"][real_next],
-                                  np.concatenate([it["src"][1:], [SEP]])[
-                                      real_next])
+    # reference packing: image tokens immediately after the text, pads
+    # at the END (dataloader.py:922-928)
+    assert (it["seg"][:n_text] == 1).all()
+    assert (it["seg"][n_text: n_text + n_img] == 2).all()
+    assert (it["seg"][n_text + n_img:] == 0).all()
+    assert (it["src"][n_text: n_text + n_img] >= VOCAB).all()
+    # causal shift over the real prefix; last real position targets SEP
+    n_real = n_text + n_img
+    np.testing.assert_array_equal(it["tgt"][: n_real - 1],
+                                  it["src"][1: n_real])
+    assert it["tgt"][n_real - 1] == SEP
+    assert (it["tgt"][n_real:] == 0).all()
 
 
 # ---------------------------------------------------------------------------

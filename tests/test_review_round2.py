@@ -291,6 +291,119 @@ def test_pointwise_trains_without_eval_loader(tmp_path):
     assert int(state.step) == len(train)
 
 
+def test_mlm_seg_not_fooled_by_token_equal_to_pad_id(tmp_path):
+    # a REAL token whose id equals pad_id must keep seg=1 (regression:
+    # seg was derived by value-matching, hiding it from attention/MLM)
+    from lr2ppo_tpu.data.pretrain_data import MlmCorpusDataset
+
+    class Tok:
+        # token 'x' encodes to id 1 == pad_id
+        def encode(self, text):
+            return [1 if w == "x" else 5 for w in text.split()]
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("x x x x x x\n" * 4)
+    ds = MlmCorpusDataset(str(corpus), Tok(), seq_length=8, vocab_size=16,
+                          mask_id=4)
+    full_rows = ds.seg[:-1]          # every full row is padding-free
+    assert (full_rows == 1).all(), "token id == pad_id lost its seg"
+
+
+def test_decoder_pre_ln_final_norm_and_relpos():
+    # reference transformer_decoder.py:31-38,90-91: pre-LN stacks end
+    # with a final layer norm and self-attention gets relative position
+    # bias (bidirectional=False)
+    import jax
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.towers.model import TowerConfig, build_model
+
+    cfg = TowerConfig(emb_size=16, hidden_size=16, feedforward_size=32,
+                      heads_num=4, layers_num=1, max_seq_length=16,
+                      vocab_size=32, embedding=["word"],
+                      encoder="transformer", decoder="transformer",
+                      target=["lm"], layernorm_positioning="pre",
+                      relative_position_embedding=True)
+    m = build_model(cfg)
+    src = jnp.ones((2, 8), jnp.int32)
+    seg = jnp.ones((2, 8), jnp.int32)
+    tgt = jnp.ones((2, 6), jnp.int32)
+    p = m.init(jax.random.PRNGKey(0), src, tgt, seg,
+               tgt_in=tgt, tgt_seg=jnp.ones((2, 6), jnp.int32))
+    dec = p["params"]["decoder_mod"]
+    assert "layer_norm" in dec, "pre-LN decoder needs the final norm"
+    assert "self_pos_emb" in dec, "decoder self-attn needs rel-pos bias"
+
+
+def test_torch_import_routes_decoder_keys():
+    from lr2ppo_tpu.towers.torch_import import _route_tower_key
+
+    assert _route_tower_key(
+        "decoder.transformer_decoder.0.self_attn.linear_layers.0.weight"
+    ) == ["decoder_mod", "transformer_decoder_0_self_attn",
+          "linear_layers_0", "weight"]
+    assert _route_tower_key("decoder.layer_norm.gamma") == [
+        "decoder_mod", "layer_norm", "gamma"]
+    assert _route_tower_key(
+        "decoder.transformer_decoder.0.layer_norm_1.gamma") == [
+        "decoder_mod", "transformer_decoder_0_layer_norm_1", "gamma"]
+
+
+def test_sinusoidal_embedding_full_length():
+    # sequences up to max_seq_length must not crash despite the +2 row
+    # shift (the reference's table is 2 rows short at the limit)
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.towers.embeddings import SinusoidalposEmbedding
+
+    m = SinusoidalposEmbedding(max_seq_length=8, emb_size=6)
+    seg = jnp.ones((2, 8), jnp.int32)
+    out = m.apply({}, jnp.ones((2, 8), jnp.int32), seg)
+    assert out.shape == (2, 8, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dalle_last_real_position_targets_sep(tmp_path):
+    from PIL import Image
+
+    from lr2ppo_tpu.data.pretrain_processors import SEP, DalleDataset
+    from lr2ppo_tpu.data.tokenizers import ImageTokenizer
+
+    TINY_VQ = dict(ch=8, ch_mult=(1, 2, 2), num_res_blocks=1,
+                   attn_resolutions=(8,), resolution=16, z_channels=8,
+                   n_embed=16, embed_dim=8)
+    img = tmp_path / "i.png"
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img)
+
+    class Tok:
+        def encode(self, text):
+            return [7, 8]
+
+    ds = DalleDataset([("ab", str(img))], Tok(),
+                      ImageTokenizer(vqgan_config=TINY_VQ, seed=0),
+                      text_seq_length=8, vocab_bias=16)
+    it = ds.get(0)
+    seg = it["seg"]
+    last_real = int(np.flatnonzero(seg > 0)[-1])
+    assert it["tgt"][last_real] == SEP, "stopping signal must survive"
+    # reference packing: no pad gap between text and image; pads only
+    # at the end, and they yield no predictions
+    pad_positions = np.flatnonzero(seg == 0)
+    assert (pad_positions > last_real).all()
+    assert (it["tgt"][pad_positions] == 0).all()
+
+
+def test_mask_id_raises_without_mask_token(tmp_path):
+    from lr2ppo_tpu.cli.pretrain import _mask_id
+
+    class Tok:
+        vocab = {"a": 0, "b": 1}
+        specials = {}
+
+    with pytest.raises(SystemExit, match="mask token"):
+        _mask_id(Tok())
+
+
 def test_movienet_ppo_pairs_fresh_per_epoch(tmp_path):
     jp, hp = make_movienet(tmp_path, n_items=3)
     ds = MovieNetDataset(jp, hp, "ppo", max_tags=8, max_imgs=2, seed=0)
