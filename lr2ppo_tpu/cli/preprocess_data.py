@@ -46,6 +46,8 @@ def main(argv=None) -> None:
     s = sub.add_parser("svm2tsv")
     s.add_argument("input"), s.add_argument("output")
     s.add_argument("--num_features", type=int, required=True)
+    s.add_argument("--use_native_loader", type=int, default=1,
+                   help="0 forces the pure-numpy svmlight parser")
 
     s = sub.add_parser("disjoint")
     s.add_argument("input"), s.add_argument("output")
@@ -64,7 +66,8 @@ def main(argv=None) -> None:
 
     args = p.parse_args(argv)
     if args.cmd == "svm2tsv":
-        arr = parse_svmlight_file(args.input, args.num_features)
+        arr = parse_svmlight_file(args.input, args.num_features,
+                                  use_native=bool(args.use_native_loader))
         _stats(arr, args.input)
         write_tsv(arr, args.output)
     elif args.cmd == "disjoint":

@@ -160,6 +160,8 @@ def main(argv=None):
     p.add_argument("--tokenizer_json", default=None)
     p.add_argument("--output_model_path", default="ckpt/pretrained")
     p.add_argument("--pretrained_model_path", default=None)
+    p.add_argument("--resume_path", default=None,
+                   help="step-numbered checkpoint to resume from")
     p.add_argument("--log_path", default=None)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--accumulation_steps", type=int, default=1)
@@ -230,7 +232,8 @@ def main(argv=None):
         epochs_num=args.epochs_num, batch_size=args.batch_size,
         report_steps=args.report_steps, seed=args.seed,
         output_model_path=args.output_model_path, log_path=args.log_path,
-        pretrained_model_path=args.pretrained_model_path)
+        pretrained_model_path=args.pretrained_model_path,
+        resume_path=args.resume_path)
     cfg.optim.learning_rate = args.learning_rate
     cfg.mesh.dp = args.dp
     cfg.mesh.compute_dtype = args.compute_dtype

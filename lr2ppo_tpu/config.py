@@ -153,7 +153,6 @@ class MeshConfig:
     tp: int = 1
     compute_dtype: str = "float32"   # 'bfloat16' for the fast path
     param_dtype: str = "float32"
-    remat: bool = False              # jax.checkpoint the fusion trunk
 
 
 @dataclass

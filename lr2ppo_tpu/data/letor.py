@@ -29,16 +29,21 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
-def parse_svmlight_file(path: str, num_features: int) -> np.ndarray:
-    """svmlight 'label qid:N f:v ...' -> dense (rows, 2+F) [label, qid, feats]."""
-    try:
-        from lr2ppo_tpu.native import parse_svmlight as native_parse
+def parse_svmlight_file(path: str, num_features: int,
+                        use_native: bool = True) -> np.ndarray:
+    """svmlight 'label qid:N f:v ...' -> dense (rows, 2+F) [label, qid, feats].
 
-        out = native_parse(path, num_features)
-        if out is not None:
-            return out
-    except Exception:
-        pass
+    `use_native=False` (DataConfig.use_native_loader) forces the pure
+    numpy path — the C++ parser's documented opt-out."""
+    if use_native:
+        try:
+            from lr2ppo_tpu.native import parse_svmlight as native_parse
+
+            out = native_parse(path, num_features)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     rows = []
     with open(path) as f:
         for line in f:

@@ -23,10 +23,20 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, "-o", _LIB],
-        check=True, capture_output=True)
+    # compile to a per-pid temp and os.replace: an interrupted or
+    # concurrent build (multi-process launch, parallel pytest) must
+    # never leave a truncated _parser.so with a fresh mtime that the
+    # staleness check would then trust forever
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-std=c++17", _SRC, "-o", tmp],
+            check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load() -> ctypes.CDLL:
@@ -56,7 +66,10 @@ def parse_svmlight(path: str, num_features: int) -> Optional[np.ndarray]:
     lib = _load()
     n = ctypes.c_long(0)
     ptr = lib.parse_svmlight(path.encode(), num_features, ctypes.byref(n))
-    if not ptr or n.value == 0:
+    if not ptr:
+        return None
+    if n.value == 0:                 # malloc(0) still needs its free
+        lib.free_buffer(ptr)
         return None
     try:
         stride = 2 + num_features
@@ -71,7 +84,10 @@ def parse_tsv(path: str) -> Optional[np.ndarray]:
     rows, cols = ctypes.c_long(0), ctypes.c_long(0)
     ptr = lib.parse_tsv(path.encode(), ctypes.byref(rows),
                         ctypes.byref(cols))
-    if not ptr or rows.value == 0:
+    if not ptr:
+        return None
+    if rows.value == 0:
+        lib.free_buffer(ptr)
         return None
     try:
         arr = np.ctypeslib.as_array(

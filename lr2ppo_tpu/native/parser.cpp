@@ -67,6 +67,13 @@ inline double parse_num(const char* p, char** end) {
     return neg ? -v : v;
 }
 
+// A number must start here — without this guard the strtod fallback in
+// parse_num skips whitespace INCLUDING newlines and would silently
+// consume the next line's label as this token's value.
+inline bool is_num_start(char c) {
+    return (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.';
+}
+
 struct FileBuf {
     char* data = nullptr;
     size_t size = 0;
@@ -125,6 +132,10 @@ float* parse_svmlight(const char* path, int num_features,
             continue;
         }
         p += 4;
+        if (p >= end || !is_num_start(*p)) {  // 'qid:' with no number
+            while (p < end && *p != '\n') ++p;
+            continue;
+        }
         double qid = parse_num(p, &q);
         p = q;
 
@@ -144,11 +155,17 @@ float* parse_svmlight(const char* path, int num_features,
             double idx = parse_num(p, &q);
             if (q == p || *q != ':') { while (p < end && *p != '\n') ++p; break; }
             p = q + 1;  // skip ':'
+            // malformed value ('idx:' at end of line) or an
+            // out-of-range index: FAIL the parse — the numpy fallback
+            // raises loudly on the same input, and silently dropping
+            // data here would corrupt training without a trace
+            if (p >= end || !is_num_start(*p)) { *out_rows = 0; return nullptr; }
             double val = parse_num(p, &q);
+            if (q == p) { *out_rows = 0; return nullptr; }
             p = q;
             int fi = static_cast<int>(idx) - 1;  // svmlight is 1-based
-            if (fi >= 0 && fi < num_features)
-                rows[base + 2 + fi] = static_cast<float>(val);
+            if (fi < 0 || fi >= num_features) { *out_rows = 0; return nullptr; }
+            rows[base + 2 + fi] = static_cast<float>(val);
         }
         ++*out_rows;
     }

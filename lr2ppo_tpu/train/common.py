@@ -107,7 +107,9 @@ class BestSaver:
 
     def maybe_save(self, metric: float, tree, metadata: Optional[dict] = None
                    ) -> bool:
-        if metric <= self.best:
+        # 'not (metric > best)': NaN from a diverged eval must never
+        # overwrite the real best checkpoint ('NaN <= best' is False)
+        if not (metric > self.best):
             return False
         self.best = float(metric)
         if self.path:

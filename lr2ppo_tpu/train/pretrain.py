@@ -23,7 +23,8 @@ from lr2ppo_tpu.config import Config
 from lr2ppo_tpu.towers.model import TowerConfig, TowerModel
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.common import (
-    DeviceCtx, TrainState, apply_updates, init_state, peek_batch)
+    BestSaver, DeviceCtx, TrainState, apply_updates, init_state,
+    peek_batch)
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
 
@@ -167,21 +168,60 @@ class PretrainTrainer:
     def fit(self, train_loader, total_steps: Optional[int] = None,
             save_checkpoint_steps: int = 0):
         cfg = self.cfg
-        total = total_steps or len(train_loader) * cfg.epochs_num
+        steps_per_epoch = len(train_loader)
+        total = total_steps or steps_per_epoch * cfg.epochs_num
         tx = build_optimizer(cfg.optim, total)
         first = peek_batch(train_loader)
-        micro = {k: v[: v.shape[0] // self.accum]
-                 for k, v in first.items() if not k.startswith("_")}
-        state = init_state(self.init_params(micro), tx)
+        rows = next(v for k, v in first.items()
+                    if not k.startswith("_")).shape[0]
+        if rows % self.accum:
+            raise ValueError(
+                f"batch_size {rows} must be divisible by "
+                f"accumulation_steps {self.accum}")
+        if self.ctx.mesh is not None:
+            dp = self.ctx.mesh.shape["dp"]
+            if (rows // self.accum) % dp:
+                raise ValueError(
+                    f"micro-batch {rows // self.accum} "
+                    f"(batch_size/accumulation_steps) must be divisible "
+                    f"by dp={dp}")
+        step, start_epoch, skip_batches = 0, 1, 0
+        resume_best = -np.inf
+        if cfg.resume_path:
+            from lr2ppo_tpu.train.common import (
+                load_state_tree, restore_train_state)
+
+            tree, meta = load_state_tree(cfg.resume_path)
+            state = restore_train_state(self.ctx, tx, tree["params"],
+                                        tree["opt_state"], tree["step"])
+            step = int(meta.get("step", tree["step"]))
+            resume_best = float(tree.get("best", -np.inf))
+            start_epoch = step // steps_per_epoch + 1
+            skip_batches = step % steps_per_epoch
+            self.logger.info(
+                f"resumed from {cfg.resume_path} @ step {step} "
+                f"(epoch {start_epoch}, skipping {skip_batches} batches)")
+        else:
+            micro = {k: v[: v.shape[0] // self.accum]
+                     for k, v in first.items() if not k.startswith("_")}
+            state = init_state(self.init_params(micro), tx)
         step_fn = make_pretrain_step_form(self.model, tx, self.accum,
                                           self.form)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
-        step, best = 0, -np.inf
+        saver = BestSaver(
+            cfg.output_model_path + "-best" if cfg.output_model_path
+            else "", self.logger)
+        saver.best = max(saver.best, resume_best)
         tokens_since, t_last = 0, time.perf_counter()
-        for epoch in range(1, cfg.epochs_num + 1):
+        for epoch in range(start_epoch, cfg.epochs_num + 1):
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
+            batch_iter = iter(train_loader)
+            if epoch == start_epoch and skip_batches:
+                from itertools import islice
+
+                batch_iter = islice(batch_iter, skip_batches, None)
+            for batch in batch_iter:
                 folded = self._fold(batch)
                 key, sub = jax.random.split(key)
                 state, m = step_fn(state, sub, folded)
@@ -198,17 +238,16 @@ class PretrainTrainer:
                         f"acc {acc:.4f} | {tps:,.0f} tokens/s")
                     self.metrics.log(step, loss=loss, acc=acc, tokens_s=tps)
                     tokens_since, t_last = 0, time.perf_counter()
-                    if acc > best:
-                        best = acc
-                        if cfg.output_model_path:
-                            checkpoints.save_checkpoint(
-                                cfg.output_model_path + "-best",
-                                state.params, {"step": step, "acc": acc})
+                    saver.maybe_save(acc, state.params,
+                                     {"step": step, "acc": acc})
                 if save_checkpoint_steps and step % save_checkpoint_steps == 0:
+                    # resumable via --resume_path (same payload shape as
+                    # the other trainers' .state checkpoints)
                     checkpoints.save_checkpoint(
                         f"{cfg.output_model_path}-{step}",
                         {"params": state.params,
-                         "opt_state": state.opt_state, "step": step},
+                         "opt_state": state.opt_state, "step": step,
+                         "best": saver.best},
                         {"step": step})
                 if step >= total:
                     break
@@ -217,4 +256,4 @@ class PretrainTrainer:
         if cfg.output_model_path:
             checkpoints.save_checkpoint(cfg.output_model_path, state.params,
                                         {"step": step})
-        return state, best
+        return state, saver.best

@@ -91,3 +91,38 @@ def _timed(f):
     t0 = time.process_time()
     f()
     return time.process_time() - t0
+
+
+def test_svmlight_dangling_value_fails_loudly(native, tmp_path):
+    # 'idx:' with no value used to make strtod skip the newline and eat
+    # the NEXT line's label as the feature value; the native path must
+    # refuse (None) so the caller falls back to numpy, which raises
+    p = tmp_path / "bad.svm"
+    p.write_text("2 qid:1 5:\n1 qid:2 1:0.5\n")
+    assert native.parse_svmlight(str(p), 8) is None
+    from lr2ppo_tpu.data.letor import parse_svmlight_file
+
+    with pytest.raises(ValueError):
+        parse_svmlight_file(str(p), 8)
+
+
+def test_svmlight_out_of_range_feature_fails_loudly(native, tmp_path):
+    # wrong --num_features must not silently truncate features
+    p = tmp_path / "wide.svm"
+    p.write_text("2 qid:1 1:0.5 7:1.0\n")
+    assert native.parse_svmlight(str(p), 3) is None
+    from lr2ppo_tpu.data.letor import parse_svmlight_file
+
+    with pytest.raises(IndexError):
+        parse_svmlight_file(str(p), 3)
+
+
+def test_parse_svmlight_file_native_opt_out(tmp_path):
+    from fixtures import make_svmlight
+    from lr2ppo_tpu.data.letor import parse_svmlight_file
+
+    p = tmp_path / "d.svm"
+    make_svmlight(str(p), n_rows=40, n_feat=6, n_qids=3, seed=1)
+    a = parse_svmlight_file(str(p), 6, use_native=True)
+    b = parse_svmlight_file(str(p), 6, use_native=False)
+    np.testing.assert_allclose(a, b, rtol=1e-6)

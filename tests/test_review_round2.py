@@ -404,6 +404,91 @@ def test_mask_id_raises_without_mask_token(tmp_path):
         _mask_id(Tok())
 
 
+def test_best_saver_ignores_nan(tmp_path):
+    from lr2ppo_tpu.train.common import BestSaver
+
+    s = BestSaver(str(tmp_path / "b.ckpt"))
+    assert s.maybe_save(0.5, {"w": np.ones(2)})
+    assert not s.maybe_save(float("nan"), {"w": np.zeros(2)})
+    assert s.best == 0.5
+    from lr2ppo_tpu.train import checkpoints
+
+    tree, _ = checkpoints.load_checkpoint(str(tmp_path / "b.ckpt"))
+    np.testing.assert_array_equal(np.asarray(tree["w"]), np.ones(2))
+
+
+def test_pretrain_rejects_indivisible_accum(tmp_path):
+    from lr2ppo_tpu.config import Config
+    from lr2ppo_tpu.data.pipeline import Loader
+    from lr2ppo_tpu.towers.model import TowerConfig
+    from lr2ppo_tpu.train.pretrain import PretrainTrainer
+
+    class Ds:
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return 12
+
+        def get(self, i):
+            return {"src": np.ones(8, np.int32),
+                    "tgt": np.zeros(8, np.int32),
+                    "seg": np.ones(8, np.int32)}
+
+    cfg = Config()
+    cfg = cfg.replace(epochs_num=1, batch_size=4, output_model_path="")
+    cfg.mesh.dp = 2
+    tcfg = TowerConfig(emb_size=16, hidden_size=16, feedforward_size=32,
+                       heads_num=4, layers_num=1, max_seq_length=16,
+                       vocab_size=32)
+    tr = PretrainTrainer(cfg, tcfg, accumulation_steps=3)
+    with pytest.raises(ValueError, match="divisible"):
+        tr.fit(Loader(Ds(), 4, shuffle=False))
+
+
+def test_pretrain_resume_continues(tmp_path):
+    from lr2ppo_tpu.config import Config
+    from lr2ppo_tpu.data.pipeline import Loader
+    from lr2ppo_tpu.towers.model import TowerConfig
+    from lr2ppo_tpu.train.pretrain import PretrainTrainer
+
+    class Ds:
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return 16
+
+        def get(self, i):
+            rng = np.random.default_rng(i)
+            src = rng.integers(5, 30, 8).astype(np.int32)
+            tgt = np.where(rng.random(8) < 0.3, src, 0).astype(np.int32)
+            return {"src": src, "tgt": tgt, "seg": np.ones(8, np.int32)}
+
+    def cfg_for(epochs):
+        cfg = Config()
+        cfg = cfg.replace(epochs_num=epochs, batch_size=4, report_steps=2,
+                          output_model_path=str(tmp_path / "pt"), seed=2)
+        cfg.mesh.dp = 2
+        return cfg
+
+    tcfg = TowerConfig(emb_size=16, hidden_size=16, feedforward_size=32,
+                       heads_num=4, layers_num=1, max_seq_length=16,
+                       vocab_size=32)
+    tr = PretrainTrainer(cfg_for(1), tcfg)
+    state, _ = tr.fit(Loader(Ds(), 4, shuffle=False),
+                      save_checkpoint_steps=2)
+    assert int(state.step) == 4
+    import os
+
+    assert os.path.exists(str(tmp_path / "pt-4"))
+
+    cfg2 = cfg_for(2).replace(resume_path=str(tmp_path / "pt-4"))
+    tr2 = PretrainTrainer(cfg2, tcfg)
+    state2, _ = tr2.fit(Loader(Ds(), 4, shuffle=False))
+    assert int(state2.step) == 8       # exactly one more epoch
+
+
 def test_movienet_ppo_pairs_fresh_per_epoch(tmp_path):
     jp, hp = make_movienet(tmp_path, n_items=3)
     ds = MovieNetDataset(jp, hp, "ppo", max_tags=8, max_imgs=2, seed=0)
