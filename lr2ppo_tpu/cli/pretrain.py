@@ -184,6 +184,8 @@ def main(argv=None):
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel split of qkv/FFN matmuls")
     p.add_argument("--compute_dtype", default="float32")
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
@@ -236,6 +238,7 @@ def main(argv=None):
         resume_path=args.resume_path)
     cfg.optim.learning_rate = args.learning_rate
     cfg.mesh.dp = args.dp
+    cfg.mesh.tp = args.tp
     cfg.mesh.compute_dtype = args.compute_dtype
 
     trainer = PretrainTrainer(cfg, tower_cfg, args.accumulation_steps,

@@ -74,6 +74,21 @@ _RULES = [
     (("values", "kernel"), P(None, "tp")),
     (("values", "bias"), P("tp")),
     (("projection", "kernel"), P("tp", None)),
+    # tower encoder/decoder layers (towers/layers.py): megatron split of
+    # the q/k/v projections + FFN — column for the hidden-expanding
+    # matmuls, row for the contracting ones (activations psum over ICI)
+    (("linear_layers_0", "kernel"), P(None, "tp")),
+    (("linear_layers_0", "bias"), P("tp")),
+    (("linear_layers_1", "kernel"), P(None, "tp")),
+    (("linear_layers_1", "bias"), P("tp")),
+    (("linear_layers_2", "kernel"), P(None, "tp")),
+    (("linear_layers_2", "bias"), P("tp")),
+    (("final_linear", "kernel"), P("tp", None)),
+    (("linear_gate", "kernel"), P(None, "tp")),
+    (("linear_gate", "bias"), P("tp")),
+    (("linear_1", "kernel"), P(None, "tp")),
+    (("linear_1", "bias"), P("tp")),
+    (("linear_2", "kernel"), P("tp", None)),
 ]
 
 
