@@ -27,7 +27,7 @@ class SpecAugment:
     def __call__(self, spec: np.ndarray) -> np.ndarray:
         assert spec.ndim == 2, "spectrogram must be (frames, freqs)"
         frames, freqs = spec.shape
-        if frames == 0 or freqs < self.fF:
+        if frames == 0 or freqs == 0:
             return spec
         out = spec.copy()
         value = (self.mask_value if self.mask_value is not None
@@ -44,8 +44,10 @@ class SpecAugment:
             idx = np.concatenate([left, right]).astype(int)
             out = out[np.clip(idx, 0, frames - 1)]
 
+        # clamp the mask width to the spectrogram — a too-large F must
+        # not disable the (independent) time masks and warp
         for _ in range(self.fN):
-            f = int(self.rng.integers(0, self.fF + 1))
+            f = int(self.rng.integers(0, min(self.fF, freqs) + 1))
             f0 = int(self.rng.integers(0, freqs - f + 1))
             out[:, f0: f0 + f] = value
 

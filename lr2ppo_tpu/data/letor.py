@@ -65,7 +65,9 @@ def parse_svmlight_file(path: str, num_features: int,
 
 def write_tsv(arr: np.ndarray, path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    np.savetxt(path, arr, delimiter="\t", fmt="%g")
+    # %.9g: exact float32 round-trip — %g's 6 digits silently
+    # rounds large LETOR features (IDF/stream-length sums reach 1e8)
+    np.savetxt(path, arr, delimiter="\t", fmt="%.9g")
 
 
 def read_tsv(path: str) -> np.ndarray:
@@ -202,6 +204,8 @@ class LTRPPODataset:
         for qid in self.q.qids:
             n = self.q.groups[qid].shape[0]
             if is_train:
+                if n < 2:          # a 2-doc pair needs 2 docs
+                    continue
                 for _ in range(max_tags):
                     pair = rng.permutation(n)[:2]
                     self.examples.append((qid, [int(pair[0]), int(pair[1])]))

@@ -128,14 +128,34 @@ class Vocab:
         return len(self.i2w)
 
 
+_SPECIAL_ALTERNATES = {
+    # XLM-R-style defaults <-> BERT-style vocab spellings: when the
+    # configured special is absent from a loaded vocab, fall back to a
+    # spelling the vocab actually contains — otherwise every OOV word
+    # would silently map to vocab.get(unk, 0) == [PAD]
+    "unk_token": ["<unk>", "[UNK]"],
+    "pad_token": ["<pad>", "[PAD]"],
+    "cls_token": ["<s>", "[CLS]"],
+    "sep_token": ["</s>", "[SEP]"],
+    "mask_token": ["<mask>", "[MASK]"],
+}
+
+
 class BaseTokenizer:
     def __init__(self, vocab_path: Optional[str] = None,
                  special_tokens_path: Optional[str] = None):
         self.specials = load_special_tokens(special_tokens_path)
-        self.unk = self.specials["unk_token"]
         self.vocab: Dict[str, int] = {}
         if vocab_path:
             self.vocab = Vocab().load(vocab_path).w2i
+        if self.vocab:
+            for key, alts in _SPECIAL_ALTERNATES.items():
+                if self.specials.get(key) not in self.vocab:
+                    for alt in alts:
+                        if alt in self.vocab:
+                            self.specials[key] = alt
+                            break
+        self.unk = self.specials["unk_token"]
         self.inv_vocab = {v: k for k, v in self.vocab.items()}
 
     def tokenize(self, text: str, use_vocab: bool = True) -> List[str]:
@@ -188,15 +208,25 @@ class BertTokenizer(BaseTokenizer):
 
     @staticmethod
     def _is_cjk(ch: str) -> bool:
+        # full reference BasicTokenizer range set incl. Extensions B-F +
+        # compatibility ideographs (tokenizers.py _is_chinese_char)
         cp = ord(ch)
         return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
-                or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2A6DF)
+                or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+                or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+                or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
     def _basic(self, text: str) -> List[str]:
         if self.lower:
             text = text.lower()
         text = unicodedata.normalize("NFD", text)
-        text = "".join(c for c in text if unicodedata.category(c) != "Mn")
+        # strip accents (Mn) and control chars (Cc/Cf, keeping \t\n\r as
+        # whitespace) like the reference BasicTokenizer._clean_text
+        text = "".join(
+            c for c in text
+            if unicodedata.category(c) != "Mn"
+            and (c in "\t\n\r"
+                 or not unicodedata.category(c).startswith("C")))
         out, cur = [], []
         for ch in text:
             if ch.isspace():

@@ -118,24 +118,19 @@ float* parse_svmlight(const char* path, int num_features,
         // skip blank lines
         while (p < end && (*p == '\n' || *p == '\r')) ++p;
         if (p >= end) break;
+        // a non-blank line that fails to parse FAILS the whole parse:
+        // the numpy fallback raises on the same input, and silently
+        // dropping rows would shrink the training set without a trace
         char* q;
+        if (!is_num_start(*p)) { *out_rows = 0; return nullptr; }
         double label = parse_num(p, &q);
-        if (q == p) {  // malformed; skip line
-            while (p < end && *p != '\n') ++p;
-            continue;
-        }
+        if (q == p) { *out_rows = 0; return nullptr; }
         p = q;
         // expect " qid:N"
         while (p < end && *p == ' ') ++p;
-        if (strncmp(p, "qid:", 4) != 0) {
-            while (p < end && *p != '\n') ++p;
-            continue;
-        }
+        if (strncmp(p, "qid:", 4) != 0) { *out_rows = 0; return nullptr; }
         p += 4;
-        if (p >= end || !is_num_start(*p)) {  // 'qid:' with no number
-            while (p < end && *p != '\n') ++p;
-            continue;
-        }
+        if (p >= end || !is_num_start(*p)) { *out_rows = 0; return nullptr; }
         double qid = parse_num(p, &q);
         p = q;
 
@@ -153,7 +148,7 @@ float* parse_svmlight(const char* path, int num_features,
                 break;
             }
             double idx = parse_num(p, &q);
-            if (q == p || *q != ':') { while (p < end && *p != '\n') ++p; break; }
+            if (q == p || *q != ':') { *out_rows = 0; return nullptr; }
             p = q + 1;  // skip ':'
             // malformed value ('idx:' at end of line) or an
             // out-of-range index: FAIL the parse — the numpy fallback

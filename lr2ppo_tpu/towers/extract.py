@@ -26,6 +26,7 @@ class TextFeatureExtractor:
     def __init__(self, cfg: TowerConfig, params, tokenizer,
                  seq_length: int = 196, cls_id: int = 0, sep_id: int = 2,
                  pad_id: int = 1, dtype=None):
+        self.cfg = cfg
         self.model = TowerModel(cfg, dtype)
         self.params = params
         self.tokenizer = tokenizer
@@ -51,6 +52,9 @@ class TextFeatureExtractor:
         return src, seg
 
     def __call__(self, texts: List[str], batch: int = 32) -> np.ndarray:
+        if not texts:   # items with empty tag lists exist in the wild
+            return np.zeros((0, self.seq_length, self.cfg.hidden_size),
+                            np.float32)
         src, seg = self.prepare(texts)
         outs = []
         for s0 in range(0, len(texts), batch):

@@ -153,9 +153,14 @@ class ClrTarget(nn.Module):
     is strictly more correct than the reference's stop-gradient splice).
     """
 
+    # field order (cfg, dtype, ...) matches every other target class —
+    # CompositeTarget constructs targets positionally as (cfg, dtype);
+    # axis_name is only for shard_map/pmap contexts (under pjit the
+    # batch-sharded similarity matrix is already globally contrastive
+    # via GSPMD's own collectives)
     cfg: "TowerConfig"  # noqa: F821
-    axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, memory_bank: Tuple[Array, Array],
@@ -190,8 +195,12 @@ class ClrTarget(nn.Module):
         lp1 = jax.nn.log_softmax(logits1, -1)
         loss = -(jnp.take_along_axis(lp0, labels[:, None], -1).mean()
                  + jnp.take_along_axis(lp1, labels[:, None], -1).mean()) / 2
-        correct = (lp0.argmax(-1) == labels).sum().astype(jnp.float32)
-        return loss, correct
+        # symmetric retrieval accuracy with ITS OWN denominator: after a
+        # gather n is the GLOBAL batch, and the trainer's local row
+        # count would inflate acc by the dp factor
+        correct = ((lp0.argmax(-1) == labels).sum()
+                   + (lp1.argmax(-1) == labels).sum()).astype(jnp.float32) / 2
+        return loss, correct, jnp.asarray(float(n))
 
 
 _TARGET_KINDS = {

@@ -201,6 +201,14 @@ def load_taming_checkpoint(path: str, cfg: Optional[VQGANConfig] = None
         else:
             leaf, arr = "bias", v.numpy()
         put(mod + (leaf,), arr)
+    if cfg is not None and "codebook" in tree:
+        cb = tree["codebook"]
+        if cb.shape != (cfg.n_embed, cfg.embed_dim):
+            raise ValueError(
+                f"VQGAN checkpoint codebook {cb.shape} does not match "
+                f"config (n_embed={cfg.n_embed}, "
+                f"embed_dim={cfg.embed_dim}) — pass the VQGANConfig the "
+                f"checkpoint was trained with (e.g. f16_1024 vs f16_16384)")
     return {"params": tree}
 
 

@@ -272,4 +272,4 @@ def project_tsv(cfg: Config, params, input_path: str, output_path: str,
     os.makedirs(os.path.dirname(os.path.abspath(output_path)) or ".",
                 exist_ok=True)
     np.savetxt(output_path, np.concatenate([head, projected], axis=1),
-               delimiter="\t", fmt="%g")
+               delimiter="\t", fmt="%.9g")

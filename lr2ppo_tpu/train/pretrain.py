@@ -31,7 +31,7 @@ from lr2ppo_tpu.utils import MetricLogger, init_logger
 
 def _norm_target_out(out, rows: int):
     """Targets return (loss, correct, denom) for mlm/lm/bilm but
-    (loss, correct) for cls/sp/clr, and {name: tuple} for composites —
+    (loss, correct) for cls/sp, and {name: tuple} for composites —
     normalize to (loss, correct, denom)."""
     if isinstance(out, dict):
         parts = [_norm_target_out(v, rows) for v in out.values()]

@@ -469,6 +469,79 @@ def test_tower_pretrain_step_runs_with_tp(tmp_path):
                for x in jax.tree.leaves(state.params))
 
 
+def test_clr_target_works_with_compute_dtype():
+    # regression: CompositeTarget built targets positionally as
+    # (cfg, dtype) but ClrTarget's second field was axis_name — any
+    # non-None dtype (i.e. EVERY trainer) crashed CLIP pretraining with
+    # 'unbound axis name'
+    import jax
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.towers.model import TowerConfig, build_model
+
+    cfg = TowerConfig(
+        emb_size=16, hidden_size=16, feedforward_size=32, heads_num=4,
+        layers_num=1, max_seq_length=16, vocab_size=32,
+        encoder="dual", target=["clr"],
+        stream_0=dict(embedding=["word"], encoder="transformer",
+                      pooling="first", hidden_size=16),
+        stream_1=dict(embedding=["word"], encoder="transformer",
+                      pooling="first", hidden_size=16))
+    m = build_model(cfg, jnp.float32)          # non-None dtype
+    src = (jnp.ones((4, 8), jnp.int32), jnp.ones((4, 8), jnp.int32))
+    seg = (jnp.ones((4, 8), jnp.int32), jnp.ones((4, 8), jnp.int32))
+    p = m.init(jax.random.PRNGKey(0), src, jnp.arange(4), seg)
+    loss, correct, denom = m.apply(p, src, jnp.arange(4), seg)
+    assert np.isfinite(float(loss))
+    assert float(denom) == 4.0 and 0 <= float(correct) <= 4
+
+
+def test_e2e_clip_pretrain_cli(tmp_path):
+    # the clip processor end-to-end through the real CLI (dual tower +
+    # clr target + bf16-free default dtype path)
+    import json
+
+    from PIL import Image
+
+    from lr2ppo_tpu.cli import pretrain as P
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(p)
+        rows.append(f"cap {i} word\t{p}")
+    tsv = tmp_path / "pairs.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+    vocab = tmp_path / "v.txt"
+    vocab.write_text("".join(t + "\n" for t in
+                             ["<s>", "<pad>", "</s>", "<unk>", "<mask>",
+                              "cap", "word"] + [str(i) for i in range(8)]))
+    tcfg = tmp_path / "tower.json"
+    tcfg.write_text(json.dumps({
+        "emb_size": 16, "hidden_size": 16, "feedforward_size": 32,
+        "heads_num": 4, "layers_num": 1, "max_seq_length": 32,
+        "dropout": 0.0, "encoder": "dual", "target": ["clr"],
+        "projection": True, "feature_size": 8,
+        "image_height": 16, "image_width": 16, "patch_size": 8,
+        "stream_0": {"embedding": ["word", "pos"],
+                     "encoder": "transformer", "pooling": "first",
+                     "hidden_size": 16},
+        "stream_1": {"embedding": ["patch", "pos"],
+                     "encoder": "transformer", "pooling": "first",
+                     "hidden_size": 16},
+    }))
+    best = P.main([
+        "--corpus_path", str(tsv), "--tower_config", str(tcfg),
+        "--data_processor", "clip", "--tokenizer", "space",
+        "--vocab_path", str(vocab),
+        "--output_model_path", str(tmp_path / "clip"),
+        "--batch_size", "4", "--seq_length", "8", "--total_steps", "2",
+        "--report_steps", "2", "--dp", "2",
+    ])
+    assert np.isfinite(best)
+
+
 def test_best_saver_ignores_nan(tmp_path):
     from lr2ppo_tpu.train.common import BestSaver
 

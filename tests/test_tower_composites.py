@@ -56,9 +56,10 @@ def test_dual_encoder_clr_target():
     seg = (jnp.ones((4, 6), jnp.int32), jnp.ones((4, 5), jnp.int32))
     tgt = jnp.arange(4)
     params = model.init(jax.random.PRNGKey(0), src, tgt, seg)
-    loss, correct = model.apply(params, src, tgt, seg)
+    loss, correct, denom = model.apply(params, src, tgt, seg)
     assert np.isfinite(float(loss))
     assert 0 <= float(correct) <= 4
+    assert float(denom) == 4.0
 
     grads = jax.grad(lambda p: model.apply(p, src, tgt, seg)[0])(params)
     assert all(np.isfinite(np.asarray(g)).all()
