@@ -53,6 +53,11 @@ class Loader:
 
     drop_last=False pads the final batch by wrapping around (weighting is
     negligible and shapes stay static, which XLA requires).
+
+    ONE active iterator at a time: starting a new iteration preempts the
+    previous one (its producer and workers are stopped and joined so no
+    stale collation can race the shared buffer pool; the old iterator
+    then simply ends).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
@@ -225,7 +230,15 @@ class Loader:
         self._live = (stop, pool, t)
         try:
             while True:
-                item = q.get()
+                # stop-aware get: when a NEW iteration preempts this one
+                # (sets our stop event), the producer exits without the
+                # None sentinel — this iterator must end, not hang
+                try:
+                    item = q.get(timeout=0.1)
+                except queue.Empty:
+                    if stop.is_set():
+                        break
+                    continue
                 if item is None:
                     break
                 if isinstance(item, Exception):
@@ -439,6 +452,11 @@ class ProcessLoader(Loader):
         if self._pool is not None:
             self._pool[4]()     # run the finalizer now
             self._pool = None
+            # the pool's queues die with it: outstanding tasks can never
+            # complete, so a fresh pool must not wait for them
+            self._outstanding = 0
+            from collections import deque
+            self._holdback = deque()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         from collections import deque

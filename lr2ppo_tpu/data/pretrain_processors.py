@@ -820,7 +820,14 @@ class BeitImageDataset:
         n = tokens.size
         if n == self.gh * self.gw:
             return tokens
-        th = tw = int(round(float(n) ** 0.5))  # vqgan grids are square
+        # token grid dims follow the image aspect: th/tw == h/w with
+        # th*tw == n (the VQGAN downsamples h and w by the same factor)
+        th = int(round((n * self.h / self.w) ** 0.5))
+        tw = n // max(th, 1)
+        if th * tw != n:
+            raise ValueError(
+                f"cannot infer a (h/w={self.h}/{self.w})-shaped grid "
+                f"for {n} VQGAN tokens")
         grid = tokens.reshape(th, tw)
         rows = (np.arange(self.gh) * th) // self.gh
         cols = (np.arange(self.gw) * tw) // self.gw

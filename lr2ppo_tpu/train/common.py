@@ -120,6 +120,30 @@ class BestSaver:
         return True
 
 
+def resume_fit_state(cfg, ctx, tx, steps_per_epoch: int, logger=None,
+                     total=None):
+    """Shared --resume_path restore for the single-state trainers:
+    TrainState (mesh-placed), data-stream fast-forward, and the
+    best-metric watermark. Returns
+    (state, step, start_epoch, skip_batches, resume_best); start_epoch
+    past epochs_num (or a step past `total`) makes the epoch range
+    empty — resuming a finished run is a no-op."""
+    tree, meta = load_state_tree(cfg.resume_path)
+    state = restore_train_state(ctx, tx, tree["params"],
+                                tree["opt_state"], tree["step"])
+    step = int(meta.get("step", tree["step"]))
+    resume_best = float(tree.get("best", -np.inf))
+    start_epoch = step // steps_per_epoch + 1
+    skip_batches = step % steps_per_epoch
+    if total is not None and step >= total:
+        start_epoch = cfg.epochs_num + 1
+    if logger is not None:
+        logger.info(
+            f"resumed from {cfg.resume_path} @ step {step} "
+            f"(epoch {start_epoch}, skipping {skip_batches} batches)")
+    return state, step, start_epoch, skip_batches, resume_best
+
+
 def peek_batch(loader):
     """First batch for shape probing / param init. Prefers the loader's
     synchronous first_batch() — abandoning a started prefetch iterator

@@ -31,9 +31,8 @@ from lr2ppo_tpu.train.common import (
     TrainState,
     apply_updates,
     init_state,
-    load_state_tree,
     peek_batch,
-    restore_train_state,
+    resume_fit_state,
 )
 from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
 from lr2ppo_tpu.train.optim import build_optimizer
@@ -97,21 +96,9 @@ class PointwiseTrainer:
         start_epoch, skip_batches = 1, 0
         resume_best = -np.inf
         if cfg.resume_path:
-            tree, meta = load_state_tree(cfg.resume_path)
-            state = restore_train_state(self.ctx, tx, tree["params"],
-                                        tree["opt_state"], tree["step"])
-            step = int(meta.get("step", tree["step"]))
-            # restore the best-metric watermark or a post-resume dip
-            # would overwrite the superior save-best checkpoint
-            resume_best = float(tree.get("best", -np.inf))
-            # fast-forward the data stream: without this a resumed run
-            # restarts at epoch 1 while keeping the restored step counter
-            # past the last epoch -> resume is a no-op (empty range)
-            start_epoch = step // steps_per_epoch + 1
-            skip_batches = step % steps_per_epoch
-            self.logger.info(
-                f"resumed from {cfg.resume_path} @ step {step} "
-                f"(epoch {start_epoch}, skipping {skip_batches} batches)")
+            (state, step, start_epoch, skip_batches,
+             resume_best) = resume_fit_state(
+                cfg, self.ctx, tx, steps_per_epoch, self.logger)
         else:
             first = peek_batch(train_loader)
             params = self.init_params(first, cfg.seed)

@@ -288,7 +288,11 @@ class PPOTrainer:
                                 self.ctx.cast_dtype).itemsize
                         return a.nbytes
                     per = sum(_put_bytes(v) for v in batch.values())
-                    distinct = max(upd // max(cfg.ppo.max_timesteps, 1), 1)
+                    mt = max(cfg.ppo.max_timesteps, 1)
+                    # ceil, +1 when a sweep straddles a batch boundary
+                    # (upd not a multiple of mt): that batch's buffers
+                    # are held by BOTH adjacent sweeps at the peak
+                    distinct = -(-upd // mt) + (1 if upd % mt else 0)
                     projected = per * distinct / 1e9
                     device_memories = (
                         projected <= cfg.ppo.device_memory_gb)
@@ -393,6 +397,20 @@ class PPOTrainer:
                          "best": saver.best},
                         {"step": step})
                     pending_save = False
+        if pending_save:
+            # run ended before a clean batch boundary materialized:
+            # flush so the .state is not stale by up to an lcm window
+            # (leftover un-swept rollouts are simply re-rolled on resume)
+            checkpoints.save_checkpoint(
+                cfg.output_model_path + ".state",
+                {"actor": {"params": astate.params,
+                           "opt_state": astate.opt_state},
+                 "critic": {"params": cstate.params,
+                            "opt_state": cstate.opt_state},
+                 "astep": int(astate.step),
+                 "step": step, "time_ctr": time_ctr,
+                 "best": saver.best},
+                {"step": step})
         self.logger.info(f"Best NDCG: {saver.best}")
         return astate, cstate, saver.best
 

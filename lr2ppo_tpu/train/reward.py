@@ -106,20 +106,11 @@ class RewardTrainer:
         step, start_epoch, skip_batches = 0, 1, 0
         resume_best = -np.inf
         if cfg.resume_path:
-            from lr2ppo_tpu.train.common import (
-                load_state_tree, restore_train_state)
+            from lr2ppo_tpu.train.common import resume_fit_state
 
-            tree, meta = load_state_tree(cfg.resume_path)
-            state = restore_train_state(self.ctx, tx, tree["params"],
-                                        tree["opt_state"], tree["step"])
-            step = int(meta.get("step", tree["step"]))
-            resume_best = float(tree.get("best", -np.inf))
-            # past the last epoch -> resume is a no-op (empty range)
-            start_epoch = step // steps_per_epoch + 1
-            skip_batches = step % steps_per_epoch
-            self.logger.info(
-                f"resumed from {cfg.resume_path} @ step {step} "
-                f"(epoch {start_epoch}, skipping {skip_batches} batches)")
+            (state, step, start_epoch, skip_batches,
+             resume_best) = resume_fit_state(
+                cfg, self.ctx, tx, steps_per_epoch, self.logger)
         else:
             first = peek_batch(train_loader)
             state = init_state(self.init_params(first, cfg.seed), tx)

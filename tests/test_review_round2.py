@@ -85,6 +85,7 @@ def test_beit_grid_align_remap_and_identity():
 
     ds = BeitImageDataset.__new__(BeitImageDataset)
     ds.gh, ds.gw = 2, 2
+    ds.h, ds.w = 16, 16
     # identity when the grids already coincide
     np.testing.assert_array_equal(
         ds._grid_align(np.arange(4)), np.arange(4))
@@ -92,6 +93,10 @@ def test_beit_grid_align_remap_and_identity():
     # the SAME image region (rows/cols 0 and 2 of the finer grid)
     np.testing.assert_array_equal(
         ds._grid_align(np.arange(16)), np.array([0, 2, 8, 10]))
+    # non-square: 4x2 token grid (h=2w) -> 2x2 patch grid
+    ds.h, ds.w = 32, 16
+    np.testing.assert_array_equal(
+        ds._grid_align(np.arange(8)), np.array([0, 1, 4, 5]))
 
 
 def test_read_wav_8bit_unsigned(tmp_path):
@@ -206,6 +211,31 @@ def test_loader_abandoned_iterator_does_not_corrupt_next_epoch():
     for a, b in zip(expect, got):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_loader_second_iterator_preempts_first_without_hanging():
+    # starting a new iteration ends the previous one (documented
+    # single-active-iterator semantics); regression: the preempted
+    # consumer blocked forever on its queue
+    ld = Loader(_SlowDs(40), 4, shuffle=False, num_workers=2,
+                reuse_buffers=True)
+    it1 = iter(ld)
+    next(it1)
+    got2 = [dict(b) for b in ld]         # preempts it1
+    assert len(got2) == 10
+    rest1 = list(it1)                    # must terminate, not hang
+    assert isinstance(rest1, list)
+
+
+def test_process_loader_close_after_abandoned_iterator():
+    # close() tears down the pool and queues; the next iteration must
+    # not wait for tasks that can no longer complete
+    pl = ProcessLoader(_SlowDs(24), 4, shuffle=False, num_workers=2)
+    next(iter(pl))                       # leaves dispatched tasks
+    pl.close()
+    got = [dict(b) for b in pl]          # fresh pool; must not hang
+    assert len(got) == 6
+    pl.close()
 
 
 def test_loader_first_batch_matches_iteration():
