@@ -48,8 +48,8 @@ def parse_svmlight_file(path: str, num_features: int,
     with open(path) as f:
         for line in f:
             parts = line.strip().split()
-            if not parts:
-                continue
+            if not parts or parts[0].startswith("#"):
+                continue            # blank / full-line comment header
             label = float(parts[0])
             qid = float(parts[1].split(":")[1])
             feats = np.zeros(num_features, dtype=np.float32)

@@ -239,6 +239,11 @@ class Loader:
                     if stop.is_set():
                         break
                     continue
+                if stop.is_set():
+                    # preempted: items still in the queue reference
+                    # reuse_buffers slots the NEW iteration is already
+                    # rewriting — discard them, never yield stale slots
+                    break
                 if item is None:
                     break
                 if isinstance(item, Exception):

@@ -118,9 +118,13 @@ float* parse_svmlight(const char* path, int num_features,
         // skip blank lines
         while (p < end && (*p == '\n' || *p == '\r')) ++p;
         if (p >= end) break;
-        // a non-blank line that fails to parse FAILS the whole parse:
-        // the numpy fallback raises on the same input, and silently
-        // dropping rows would shrink the training set without a trace
+        if (*p == '#') {  // full-line comment (sklearn dump headers)
+            while (p < end && *p != '\n') ++p;
+            continue;
+        }
+        // a non-blank DATA line that fails to parse FAILS the whole
+        // parse: the numpy fallback raises on the same input, and
+        // silently dropping rows would shrink the training set
         char* q;
         if (!is_num_start(*p)) { *out_rows = 0; return nullptr; }
         double label = parse_num(p, &q);
@@ -139,9 +143,10 @@ float* parse_svmlight(const char* path, int num_features,
         rows[base] = static_cast<float>(label);
         rows[base + 1] = static_cast<float>(qid);
 
-        // feature pairs until newline or '#' comment
+        // feature pairs until newline or '#' comment ('\r' is line-end
+        // whitespace: CRLF files must parse natively, not fail over)
         while (p < end && *p != '\n') {
-            while (p < end && (*p == ' ' || *p == '\t')) ++p;
+            while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
             if (p >= end || *p == '\n') break;
             if (*p == '#') {  // trailing comment
                 while (p < end && *p != '\n') ++p;

@@ -251,6 +251,17 @@ class PPOTrainer:
         saver = BestSaver(cfg.output_model_path, self.logger)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 2)
+        def _save_state(astate, cstate, step, time_ctr, best):
+            checkpoints.save_checkpoint(
+                cfg.output_model_path + ".state",
+                {"actor": {"params": astate.params,
+                           "opt_state": astate.opt_state},
+                 "critic": {"params": cstate.params,
+                            "opt_state": cstate.opt_state},
+                 "astep": int(astate.step),
+                 "step": step, "time_ctr": time_ctr, "best": best},
+                {"step": step})
+
         memories: List[dict] = []
         pending_save = False
         self.logger.info(
@@ -289,10 +300,12 @@ class PPOTrainer:
                         return a.nbytes
                     per = sum(_put_bytes(v) for v in batch.values())
                     mt = max(cfg.ppo.max_timesteps, 1)
-                    # ceil, +1 when a sweep straddles a batch boundary
-                    # (upd not a multiple of mt): that batch's buffers
-                    # are held by BOTH adjacent sweeps at the peak
-                    distinct = -(-upd // mt) + (1 if upd % mt else 0)
+                    # worst-case distinct batches a upd-timestep sweep
+                    # window touches: upd/mt when aligned, else the
+                    # window can start at a batch's LAST timestep
+                    # (phase mt-1) -> 1 + ceil((upd-1)/mt)
+                    distinct = (upd // mt if upd % mt == 0
+                                else (upd + mt - 2) // mt + 1)
                     projected = per * distinct / 1e9
                     device_memories = (
                         projected <= cfg.ppo.device_memory_gb)
@@ -386,31 +399,15 @@ class PPOTrainer:
                 if pending_save and not memories:
                     # batch boundary + drained memory buffer: the
                     # (step, time_ctr) pair resumes exactly here
-                    checkpoints.save_checkpoint(
-                        cfg.output_model_path + ".state",
-                        {"actor": {"params": astate.params,
-                                   "opt_state": astate.opt_state},
-                         "critic": {"params": cstate.params,
-                                    "opt_state": cstate.opt_state},
-                         "astep": int(astate.step),
-                         "step": step, "time_ctr": time_ctr,
-                         "best": saver.best},
-                        {"step": step})
+                    _save_state(astate, cstate, step, time_ctr,
+                                saver.best)
                     pending_save = False
         if pending_save:
             # run ended before a clean batch boundary materialized:
             # flush so the .state is not stale by up to an lcm window
-            # (leftover un-swept rollouts are simply re-rolled on resume)
-            checkpoints.save_checkpoint(
-                cfg.output_model_path + ".state",
-                {"actor": {"params": astate.params,
-                           "opt_state": astate.opt_state},
-                 "critic": {"params": cstate.params,
-                            "opt_state": cstate.opt_state},
-                 "astep": int(astate.step),
-                 "step": step, "time_ctr": time_ctr,
-                 "best": saver.best},
-                {"step": step})
+            # (the epoch range is exhausted, so a resume from it is a
+            # no-op; leftover un-swept rollouts are simply dropped)
+            _save_state(astate, cstate, step, time_ctr, saver.best)
         self.logger.info(f"Best NDCG: {saver.best}")
         return astate, cstate, saver.best
 

@@ -223,8 +223,9 @@ def test_loader_second_iterator_preempts_first_without_hanging():
     next(it1)
     got2 = [dict(b) for b in ld]         # preempts it1
     assert len(got2) == 10
-    rest1 = list(it1)                    # must terminate, not hang
-    assert isinstance(rest1, list)
+    # must terminate (not hang) AND never yield stale queued batches
+    # whose reuse_buffers slots the new iteration rewrote
+    assert list(it1) == []
 
 
 def test_process_loader_close_after_abandoned_iterator():
