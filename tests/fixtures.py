@@ -11,6 +11,9 @@ def make_movienet(dirpath, n_items=6, seq=4, feat=16, max_tag_range=(3, 7),
     """Writes data.json + clean_feat.h5; returns (json_path, h5_path)."""
     import h5py
 
+    assert max_tag_range[0] >= 3, (
+        "items need >= 3 tags: the fixture guarantees all three "
+        "relevance classes (reward_eval) and 2-tag pair sampling")
     rng = np.random.RandomState(seed)
     os.makedirs(dirpath, exist_ok=True)
     items = []

@@ -25,9 +25,8 @@ def _trees_equal(a, b):
     fb = dict(jax.tree_util.tree_leaves_with_path(b))
     assert len(fa) == len(fb)
     for path, leaf in fa:
-        np.testing.assert_allclose(np.asarray(leaf),
-                                   np.asarray(dict(fb)[path] if False
-                                              else fb[path]),
+        assert path in fb, f"missing leaf {path}"
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(fb[path]),
                                    rtol=1e-6, err_msg=str(path))
 
 

@@ -2,6 +2,7 @@
 equivalent and each entry module imports and exposes main()."""
 
 import importlib
+import os
 import subprocess
 import sys
 
@@ -28,7 +29,7 @@ def test_entry_modules_import_and_have_main():
 def test_dispatcher_rejects_unknown():
     proc = subprocess.run(
         [sys.executable, "-m", "lr2ppo_tpu.cli", "not_a_thing"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 2
     assert "unknown entry" in proc.stdout
 
@@ -36,6 +37,6 @@ def test_dispatcher_rejects_unknown():
 def test_dispatcher_usage():
     proc = subprocess.run(
         [sys.executable, "-m", "lr2ppo_tpu.cli"],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 2
     assert "usage" in proc.stdout

@@ -25,7 +25,6 @@ def test_adjacent_elements_not_correlated():
     x = jnp.ones((1, 4096), jnp.float32)
     out = np.asarray(packed_dropout(x, jax.random.PRNGKey(1), 0.5))
     quads = (out != 0).reshape(-1, 4)
-    frac_uniform = (quads.all(1) | (~quads).any(1) & ~quads.any(1)).mean()
     # P(all-4 equal) = 2 * 0.5^4 = 0.125; allow slack
     all_equal = ((quads.sum(1) == 0) | (quads.sum(1) == 4)).mean()
     assert 0.05 < all_equal < 0.25

@@ -42,15 +42,13 @@ print(f"proc {pid} OK total={float(total)}")
 """
 
 
-@pytest.mark.slow
-def test_two_process_distributed_initialize(tmp_path):
+def _run_rendezvous(env):
+    # bind-then-close port probing is a TOCTOU race on a shared host:
+    # retry the whole rendezvous with a fresh port on failure
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     coordinator = f"127.0.0.1:{port}"
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)          # one real device per process
-    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _CHILD, coordinator, str(i)],
@@ -68,6 +66,18 @@ def test_two_process_distributed_initialize(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed_initialize(tmp_path):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # one real device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    for attempt in range(3):
+        procs, outs = _run_rendezvous(env)
+        if all(p.returncode == 0 for p in procs):
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert "OK total=3.0" in out

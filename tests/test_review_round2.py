@@ -70,8 +70,12 @@ def test_process_loader_batch_valid_across_epoch_boundary():
 
     pl.set_epoch(1)
     it = iter(pl)
-    first_new = next(it)             # workers are now filling slots
-    # the held batch from epoch 0 must be untouched
+    next(it)                         # workers are now filling slots
+    import time
+
+    time.sleep(0.3)                  # give workers time to (wrongly)
+    # recycle the held slot — makes a regression deterministic on a
+    # 1-core host rather than a scheduling coin-flip
     for k in held:
         np.testing.assert_array_equal(held[k], np.array(last[k]))
     # drain to let the pool settle, then close

@@ -25,6 +25,8 @@ MERGES = f"{REF}/models/huggingface_gpt2_merges.txt"
 
 @pytest.fixture(scope="module")
 def ref_bpe():
+    if not os.path.isdir(os.path.join(REF, "tencentpretrain")):
+        pytest.skip("reference repo not mounted")
     cwd = os.getcwd()
     sys.path.insert(0, REF)
     os.chdir(REF)
@@ -57,6 +59,8 @@ def test_bpe_parity_with_reference(ref_bpe):
 
 
 def test_bpe_roundtrip():
+    if not os.path.exists(VOCAB):
+        pytest.skip("reference BPE assets not mounted")
     mine = BPETokenizer(VOCAB, MERGES)
     s = "round trip of bytes éè中文"
     assert mine.decode(mine.tokenize(s)) == s

@@ -24,6 +24,8 @@ REF = "/root/reference"
 def ref_modules():
     """Import the reference TencentPretrain modules (constants.py reads a
     JSON relative to CWD at import time, so chdir first)."""
+    if not os.path.isdir(os.path.join(REF, "tencentpretrain")):
+        pytest.skip("reference repo not mounted")
     cwd = os.getcwd()
     sys.path.insert(0, REF)
     os.chdir(REF)
