@@ -81,7 +81,8 @@ def movienet_train_loader(cfg: Config, mode: str, seed: int = 0) -> Loader:
     h5p = h5_path_for(cfg.data.train_path, cfg)
     ds = MovieNetDataset(
         cfg.data.train_path, h5p, mode,
-        max_tags=cfg.data.max_tags, max_imgs=cfg.data.max_imgs, seed=seed,
+        max_tags=cfg.data.max_tags, max_imgs=cfg.data.max_imgs,
+        seed=cfg.seed + seed,   # --seed must vary the data sampling too
         item_dtype=_item_dtype(cfg), preload=_want_preload(cfg, h5p))
     if _use_process_loader(cfg):
         # shared-memory worker processes: sidestep the GIL and h5py's
@@ -127,14 +128,22 @@ def letor_queries(path: str, split: str = "train") -> LetorQueries:
     return LetorQueries.from_h5(path)
 
 
+
+def letor_eval_loader(cfg: Config, ds_cls, path: str = "") -> EvalLoader:
+    """Test-split EvalLoader with one bucket sized to the largest query
+    (the shared recipe of every tabular evaluator)."""
+    evq = letor_queries(path or cfg.data.dev_path or cfg.data.test_path,
+                        "test")
+    docs = max(g.shape[0] for g in evq.groups.values())
+    ds = (ds_cls(evq, False) if ds_cls is LTRPPODataset else ds_cls(evq))
+    return EvalLoader(ds, buckets=[docs], batch_size=cfg.batch_size)
+
+
 def letor_pointwise_loaders(cfg: Config):
     train = Loader(LTRPointwiseDataset(letor_queries(cfg.data.train_path)),
                    cfg.batch_size, shuffle=True, seed=cfg.seed,
                    num_workers=cfg.data.num_workers, reuse_buffers=True)
-    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path, "test")
-    docs = max(g.shape[0] for g in evq.groups.values())
-    ev = EvalLoader(LTRPointwiseDataset(evq), buckets=[docs],
-                    batch_size=cfg.batch_size)
+    ev = letor_eval_loader(cfg, LTRPointwiseDataset)
     return train, ev
 
 
@@ -155,8 +164,6 @@ def letor_reward_loaders(cfg: Config, relevance_classes: int = 5):
 
 def letor_ppo_loaders(cfg: Config):
     q = letor_queries(cfg.data.train_path)
-    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path, "test")
-    docs = max(g.shape[0] for g in evq.groups.values())
 
     def make_train_loader(epoch: int) -> Loader:
         ds = LTRPPODataset(q, True, max_tags=cfg.data.max_tags,
@@ -165,6 +172,5 @@ def letor_ppo_loaders(cfg: Config):
                       seed=cfg.seed + epoch,
                       num_workers=cfg.data.num_workers)
 
-    ev = EvalLoader(LTRPPODataset(evq, False), buckets=[docs],
-                    batch_size=cfg.batch_size)
+    ev = letor_eval_loader(cfg, LTRPPODataset)
     return make_train_loader, ev

@@ -12,8 +12,9 @@ from __future__ import annotations
 import dataclasses
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import force_family, letor_queries
-from lr2ppo_tpu.data import EvalLoader, Loader, LTRPointwiseDataset
+from lr2ppo_tpu.cli._common import (force_family, letor_eval_loader,
+                                    letor_queries)
+from lr2ppo_tpu.data import Loader, LTRPointwiseDataset
 from lr2ppo_tpu.train.pointwise import TwoDataTrainer
 
 
@@ -29,14 +30,8 @@ def main(argv=None) -> float:
     loaders = [Loader(LTRPointwiseDataset(q), cfg.batch_size, shuffle=True,
                       seed=cfg.seed, num_workers=cfg.data.num_workers)
                for q in (qa, qb)]
-    evs = []
-    for p in (cfg.data.dev_path, cfg.data.dev_path2):
-        # eval must pick test.h5 from directory-style paths (the split
-        # default is 'train' — see letor_queries's docstring warning)
-        q = letor_queries(p, "test")
-        docs = max(g.shape[0] for g in q.groups.values())
-        evs.append(EvalLoader(LTRPointwiseDataset(q), buckets=[docs],
-                              batch_size=cfg.batch_size))
+    evs = [letor_eval_loader(cfg, LTRPointwiseDataset, path=p2)
+           for p2 in (cfg.data.dev_path, cfg.data.dev_path2)]
     _state, best = TwoDataTrainer(cfg).fit_two(loaders, evs)
     return best
 

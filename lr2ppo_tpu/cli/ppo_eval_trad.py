@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import force_family, letor_ppo_loaders, letor_queries
+from lr2ppo_tpu.cli._common import force_family, letor_eval_loader
 from lr2ppo_tpu.data import LTRPPODataset
 from lr2ppo_tpu.models import ScoreModel
 from lr2ppo_tpu.train import checkpoints
@@ -22,13 +22,9 @@ def main(argv=None):
                                 kind="actor_critic")
     actor_params = tree["actor"] if "actor" in tree else tree
     model = ScoreModel(cfg.model, jnp.dtype(cfg.mesh.compute_dtype))
-    evq = letor_queries(cfg.data.dev_path or cfg.data.test_path, "test")
-    ds = LTRPPODataset(evq, False)
-    docs = max(g.shape[0] for g in evq.groups.values())
-    from lr2ppo_tpu.data import EvalLoader
-
-    ev = EvalLoader(ds, buckets=[docs], batch_size=cfg.batch_size)
-    result = evaluate_cases(model, actor_params, ds, ev, cfg.data.case_path)
+    ev = letor_eval_loader(cfg, LTRPPODataset)
+    result = evaluate_cases(model, actor_params, ev.ds, ev,
+                            cfg.data.case_path)
     logger.info("NDCG:" + format_ndcg(result))
     return result
 

@@ -22,7 +22,6 @@ import argparse
 import json
 import os
 
-import jax
 import numpy as np
 
 from lr2ppo_tpu.towers import TowerConfig, load_tower_checkpoint
@@ -88,10 +87,20 @@ def main(argv=None) -> None:
     with h5py.File(args.output, "w") as hf:
         for item in items:
             iid = item["id"]
+            # frames FIRST (cheap): a missing keyframe dir must not
+            # abort an hours-long export nor waste the text forward
+            try:
+                frames = load_frames(
+                    os.path.join(args.image_root, str(iid)),
+                    vit_cfg.image_height, vit_cfg.image_width)
+            except (FileNotFoundError, NotADirectoryError, OSError) as e:
+                print(f"SKIP {iid}: keyframes unreadable ({e})")
+                continue
+            if len(frames) == 0:
+                print(f"SKIP {iid}: no decodable keyframes")
+                continue
             tags = [t["tag"] for t in item["tags"]]
             text_emb = text_x(tags, args.batch)
-            frames = load_frames(os.path.join(args.image_root, str(iid)),
-                                 vit_cfg.image_height, vit_cfg.image_width)
             img_emb = img_x(frames, args.batch)
             write_clean_feat(args.output, iid, text_emb, img_emb,
                              h5_file=hf)

@@ -40,6 +40,25 @@ from lr2ppo_tpu.towers.model import TowerConfig
 from lr2ppo_tpu.train.pretrain import PretrainTrainer
 
 
+def _special_ids(tok):
+    """(cls, pad, sep) ids from the tokenizer's resolved specials,
+    falling back to the XLM-R layout (0/1/2) when the vocab has none
+    (e.g. GPT-2 BPE)."""
+    v = tok.vocab or {}
+
+    def gid(key, default):
+        t = tok.specials.get(key)
+        return v[t] if t in v else default
+
+    return gid("cls_token", 0), gid("pad_token", 1), gid("sep_token", 2)
+
+
+def _special_ids_csp(tok):
+    """(cls, sep, pad) — the pretrain_data constructors' arg order."""
+    c, p, sep = _special_ids(tok)
+    return c, sep, p
+
+
 def _mask_id(tok):
     name = tok.specials.get("mask_token", "<mask>")
     mid = tok.vocab.get(name)
@@ -59,11 +78,12 @@ def _mask_id(tok):
 str2dataset = {
     "mlm": lambda path, tok, args, cfg: MlmCorpusDataset(
         path, tok, args.seq_length, cfg.vocab_size, _mask_id(tok),
-        seed=args.seed),
+        *_special_ids_csp(tok), seed=args.seed),
     "lm": lambda path, tok, args, cfg: LmCorpusDataset(
-        path, tok, args.seq_length + 1, cfg.vocab_size, 0),
+        path, tok, args.seq_length + 1, cfg.vocab_size, 0,
+        *_special_ids_csp(tok)),
     "cls": lambda path, tok, args, cfg: ClsTsvDataset(
-        path, tok, args.seq_length),
+        path, tok, args.seq_length, *_special_ids_csp(tok)),
     "bert": lambda path, tok, args, cfg: BertDocsDataset(
         path, tok, args.seq_length, cfg.vocab_size, _mask_id(tok),
         seed=args.seed, short_seq_prob=args.short_seq_prob,
@@ -122,7 +142,7 @@ def _read_tsv(path, n=2):
     with open(path, encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
-            if len(parts) >= n:
+            if len(parts) >= n and parts[0]:
                 rows.append(tuple(parts[:n]) if n > 1 else (parts[0],))
     return rows
 
@@ -201,6 +221,13 @@ def main(argv=None):
     else:
         tok = str2tokenizer[args.tokenizer](args.vocab_path)
 
+    # frame instances with the tokenizer's ACTUAL special ids (the
+    # processor defaults assume the XLM-R 0/1/2 layout)
+    cls_id, pad_id, sep_id = _special_ids(tok)
+    from lr2ppo_tpu.data import pretrain_processors as _pp
+
+    _pp.set_special_ids(cls_id, pad_id, sep_id)
+
     # T5 sentinels / DALL-E image tokens live past the vocab end; grow
     # the embedding to fit
     extra_vocab = 0
@@ -219,15 +246,24 @@ def main(argv=None):
         from lr2ppo_tpu.towers.vqgan import VQGANConfig
 
         vocab_size = VQGANConfig().n_embed
+    # grow-only max_seq_length: respect the JSON's own value (XLM-R
+    # uses 514; clobbering it breaks pretrained-checkpoint pos tables)
+    import json as _json
+
+    with open(args.tower_config) as _f:
+        _raw_msl = _json.load(_f).get("max_seq_length",
+                                      TowerConfig().max_seq_length)
     tower_cfg = TowerConfig.from_json(
         args.tower_config, vocab_size=vocab_size,
-        max_seq_length=max(args.seq_length,
-                           TowerConfig().max_seq_length),
+        max_seq_length=max(args.seq_length, _raw_msl),
         **({"hash_dropout": True} if args.hash_dropout else {}))
     ds = str2dataset[args.data_processor](args.corpus_path, tok, args,
                                           tower_cfg)
-    loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed,
-                    reuse_buffers=True)
+    # reference accumulation semantics: each optimizer step consumes
+    # accumulation_steps micro-batches of batch_size rows (the trainer
+    # folds the loader batch into (accum, batch_size, ...))
+    loader = Loader(ds, args.batch_size * args.accumulation_steps,
+                    shuffle=True, seed=args.seed, reuse_buffers=True)
 
     cfg = Config()
     cfg = cfg.replace(

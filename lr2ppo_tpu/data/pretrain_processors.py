@@ -32,6 +32,18 @@ from lr2ppo_tpu.data.pretrain_data import mask_tokens
 CLS, PAD, SEP = 0, 1, 2
 
 
+def set_special_ids(cls_id: int = 0, pad_id: int = 1,
+                    sep_id: int = 2) -> None:
+    """Align the instance-frame layout with the ACTIVE tokenizer's vocab
+    (module defaults are the XLM-R layout, <s>=0 <pad>=1 </s>=2, which
+    the reference hardcodes via utils/constants.py). The pretrain CLI
+    calls this after building the tokenizer so e.g. a BERT vocab frames
+    with [CLS]=101/[SEP]=102/[PAD]=0 instead of unrelated token ids.
+    Every processor reads the module globals at build time."""
+    global CLS, PAD, SEP
+    CLS, PAD, SEP = cls_id, pad_id, sep_id
+
+
 def read_documents(path: str, tokenizer) -> List[List[List[int]]]:
     """Blank-line-separated documents, one sentence per line (the
     reference's BertDataset corpus format, dataset.py:86-92)."""

@@ -428,6 +428,31 @@ def test_dalle_last_real_position_targets_sep(tmp_path):
     assert (it["tgt"][pad_positions] == 0).all()
 
 
+def test_pretrain_frames_with_tokenizer_special_ids(tmp_path):
+    # a BERT-layout vocab must frame instances with ITS [CLS]/[SEP]/[PAD]
+    # ids, not the XLM-R 0/2/1 defaults (regression: hardcoded layout)
+    from lr2ppo_tpu.cli.pretrain import _special_ids
+    from lr2ppo_tpu.data.pretrain_data import MlmCorpusDataset
+    from lr2ppo_tpu.data.tokenizers import str2tokenizer
+
+    vocab = tmp_path / "bert_vocab.txt"
+    toks = ["[PAD]", "[unused0]", "[unused1]", "[UNK]", "[CLS]", "[SEP]",
+            "[MASK]", "hello", "world"]
+    vocab.write_text("".join(t + "\n" for t in toks))
+    tok = str2tokenizer["space"](str(vocab))
+    cls_id, pad_id, sep_id = _special_ids(tok)
+    assert (cls_id, pad_id, sep_id) == (4, 0, 5)
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("hello world\n" * 4)
+    ds = MlmCorpusDataset(str(corpus), tok, seq_length=8, vocab_size=9,
+                          mask_id=6, cls_id=cls_id, sep_id=sep_id,
+                          pad_id=pad_id)
+    row = ds.ids[0]
+    assert row[0] == 4                     # [CLS], not id 0 (= [PAD])
+    assert sep_id in row                   # [SEP] closes each line
+
+
 def test_mask_id_raises_without_mask_token(tmp_path):
     from lr2ppo_tpu.cli.pretrain import _mask_id
 
