@@ -23,6 +23,20 @@ from lr2ppo_tpu.data import (
 from lr2ppo_tpu.data.pipeline import ProcessLoader
 
 
+def pod_shard():
+    """Process-local input sharding on a multi-host pod: each controller
+    loads and uploads only its slice of every global batch
+    (Loader(shard=...) + make_array_from_process_local_data in
+    parallel/mesh.py:put_batch — the TPU analogue of the reference's
+    per-rank reader stride, tencentpretrain/utils/dataloader.py:32-39).
+    None in the ordinary single-process case."""
+    import jax
+
+    if jax.process_count() > 1:
+        return (jax.process_index(), jax.process_count())
+    return None
+
+
 def force_family(cfg: Config, family: str) -> Config:
     import dataclasses
 
@@ -91,7 +105,8 @@ def movienet_train_loader(cfg: Config, mode: str, seed: int = 0) -> Loader:
         return ProcessLoader(ds, cfg.batch_size, shuffle=True,
                              seed=cfg.seed + seed,
                              num_workers=cfg.data.num_workers,
-                             prefetch_depth=cfg.data.prefetch_depth)
+                             prefetch_depth=cfg.data.prefetch_depth,
+                             shard=pod_shard())
     # reuse_buffers for every stage: fresh multi-MB batch allocations
     # page-fault ~4x slower than buffer reuse on this host class
     # (measured 750 -> 3040 samples/s at PPO shapes). The PPO trainer
@@ -100,7 +115,7 @@ def movienet_train_loader(cfg: Config, mode: str, seed: int = 0) -> Loader:
     return Loader(ds, cfg.batch_size, shuffle=True, seed=cfg.seed + seed,
                   num_workers=cfg.data.num_workers,
                   prefetch_depth=cfg.data.prefetch_depth,
-                  reuse_buffers=True)
+                  reuse_buffers=True, shard=pod_shard())
 
 
 def movienet_eval_loader(cfg: Config, mode: str = "eval",
@@ -142,7 +157,8 @@ def letor_eval_loader(cfg: Config, ds_cls, path: str = "") -> EvalLoader:
 def letor_pointwise_loaders(cfg: Config):
     train = Loader(LTRPointwiseDataset(letor_queries(cfg.data.train_path)),
                    cfg.batch_size, shuffle=True, seed=cfg.seed,
-                   num_workers=cfg.data.num_workers, reuse_buffers=True)
+                   num_workers=cfg.data.num_workers, reuse_buffers=True,
+                   shard=pod_shard())
     ev = letor_eval_loader(cfg, LTRPointwiseDataset)
     return train, ev
 
@@ -157,7 +173,8 @@ def letor_reward_loaders(cfg: Config, relevance_classes: int = 5):
         max_tags=max(cfg.data.max_tags // 4, 1),
         relevance_classes=relevance_classes, seed=cfg.seed + 999)
     return (Loader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-                   num_workers=cfg.data.num_workers, reuse_buffers=True),
+                   num_workers=cfg.data.num_workers, reuse_buffers=True,
+                   shard=pod_shard()),
             Loader(ev_ds, cfg.batch_size, shuffle=False,
                    num_workers=cfg.data.num_workers, reuse_buffers=True))
 
@@ -170,7 +187,8 @@ def letor_ppo_loaders(cfg: Config):
                            seed=cfg.seed + epoch)
         return Loader(ds, cfg.batch_size, shuffle=True,
                       seed=cfg.seed + epoch,
-                      num_workers=cfg.data.num_workers)
+                      num_workers=cfg.data.num_workers,
+                      shard=pod_shard())
 
     ev = letor_eval_loader(cfg, LTRPPODataset)
     return make_train_loader, ev

@@ -13,7 +13,7 @@ import dataclasses
 
 from lr2ppo_tpu.config import parse_config
 from lr2ppo_tpu.cli._common import (force_family, letor_eval_loader,
-                                    letor_queries)
+                                    letor_queries, pod_shard)
 from lr2ppo_tpu.data import Loader, LTRPointwiseDataset
 from lr2ppo_tpu.train.pointwise import TwoDataTrainer
 
@@ -28,7 +28,8 @@ def main(argv=None) -> float:
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, trad_dims=dims))
 
     loaders = [Loader(LTRPointwiseDataset(q), cfg.batch_size, shuffle=True,
-                      seed=cfg.seed, num_workers=cfg.data.num_workers)
+                      seed=cfg.seed, num_workers=cfg.data.num_workers,
+                      shard=pod_shard())
                for q in (qa, qb)]
     evs = [letor_eval_loader(cfg, LTRPointwiseDataset, path=p2)
            for p2 in (cfg.data.dev_path, cfg.data.dev_path2)]

@@ -262,8 +262,12 @@ def main(argv=None):
     # reference accumulation semantics: each optimizer step consumes
     # accumulation_steps micro-batches of batch_size rows (the trainer
     # folds the loader batch into (accum, batch_size, ...))
+    from lr2ppo_tpu.cli._common import pod_shard
+
     loader = Loader(ds, args.batch_size * args.accumulation_steps,
-                    shuffle=True, seed=args.seed, reuse_buffers=True)
+                    shuffle=True, seed=args.seed, reuse_buffers=True,
+                    shard=pod_shard(),
+                    shard_chunks=max(args.accumulation_steps, 1))
 
     cfg = Config()
     cfg = cfg.replace(

@@ -63,9 +63,30 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 8,
                  prefetch_depth: int = 2, drop_last: bool = False,
-                 reuse_buffers: bool = False):
+                 reuse_buffers: bool = False,
+                 shard: Optional[tuple] = None, shard_chunks: int = 1):
         self.ds = dataset
         self.bs = batch_size
+        # shard_chunks > 1: the consumer folds each batch into
+        # (shard_chunks, micro, ...) for in-compile grad accumulation
+        # (train/pretrain.py _fold) — the process-local slice must then be
+        # taken PER CHUNK so local rows reshape to (chunks, micro/world)
+        self.shard_chunks = shard_chunks
+        # (rank, world): multi-host pods. Every process computes the
+        # IDENTICAL global shuffle (same seed+epoch) and materializes only
+        # rows [rank*bs/world : (rank+1)*bs/world] of each global batch —
+        # the TPU analogue of the reference's per-rank reader stride
+        # (tencentpretrain/utils/dataloader.py:32-39, DistributedSampler
+        # in ppo.py:684-699). DeviceCtx.put reassembles the global batch
+        # via jax.make_array_from_process_local_data; the contiguous
+        # slice matches the dp axis's process-ordered device layout.
+        if shard is not None:
+            rank, world = shard
+            assert 0 <= rank < world, shard
+            assert batch_size % (world * shard_chunks) == 0, (
+                f"batch_size {batch_size} not divisible by process "
+                f"count {world} x accum chunks {shard_chunks}")
+        self.shard = shard
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
@@ -113,6 +134,19 @@ class Loader:
                 idx = np.concatenate(
                     [idx, order[: self.bs - len(idx)] - len(self.ds)])
             batches.append(idx)
+        if self.shard is not None:
+            rank, world = self.shard
+            if self.shard_chunks > 1:
+                m = self.bs // self.shard_chunks       # rows per chunk
+                ml = m // world
+                sel = np.concatenate([
+                    np.arange(a * m + rank * ml, a * m + (rank + 1) * ml)
+                    for a in range(self.shard_chunks)])
+                batches = [b[sel] for b in batches]
+            else:
+                local = self.bs // world
+                batches = [b[rank * local: (rank + 1) * local]
+                           for b in batches]
         return batches
 
     def first_batch(self) -> Dict[str, np.ndarray]:
@@ -382,9 +416,11 @@ class ProcessLoader(Loader):
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 4,
-                 prefetch_depth: int = 2, drop_last: bool = False):
+                 prefetch_depth: int = 2, drop_last: bool = False,
+                 shard: Optional[tuple] = None):
         super().__init__(dataset, batch_size, shuffle, seed,
-                         num_workers, prefetch_depth, drop_last)
+                         num_workers, prefetch_depth, drop_last,
+                         shard=shard)
         self._pool = None  # (procs, task_q, done_q, views, finalizer)
         # abandoned-iterator hygiene: dispatched tasks are tagged with a
         # generation; a new __iter__ first drains every outstanding task
@@ -496,10 +532,13 @@ class ProcessLoader(Loader):
                     raise RuntimeError(f"ProcessLoader worker failed: {err}")
                 completed[k] = (slot, wrapped)
             slot, wrapped = completed.pop(yielded)
-            batch = dict(views[slot])
+            # slots are sized for the full (global) batch; a sharded
+            # loader fills and yields only this process's local rows
+            lbs = self.bs // self.shard[1] if self.shard else self.bs
+            batch = {k: v[:lbs] for k, v in views[slot].items()}
             if wrapped and not self.drop_last:
-                valid = np.ones(self.bs, bool)
-                valid[self.bs - wrapped:] = False
+                valid = np.ones(lbs, bool)
+                valid[lbs - wrapped:] = False
                 batch["_valid"] = valid
             holdback.append(slot)
             if len(holdback) > self.HOLDBACK:

@@ -5,4 +5,5 @@ from lr2ppo_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     shard_params,
     put_batch,
+    global_put,
 )

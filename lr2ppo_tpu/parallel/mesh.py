@@ -110,11 +110,39 @@ def param_shardings(params, mesh: Mesh):
     )
 
 
+def global_put(x, sharding: NamedSharding):
+    """`device_put` that also works when `sharding` spans devices this
+    process cannot address (a multi-host pod). Every process must hold
+    the SAME host value — true for params (same init seed / same
+    checkpoint on all hosts) and replicated scalars. Single-process is
+    the plain fast path."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_params(params, mesh: Mesh):
-    return jax.device_put(params, param_shardings(params, mesh))
+    shardings = param_shardings(params, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(params, shardings)
+    return jax.tree.map(global_put, params, shardings)
 
 
 def put_batch(batch, mesh: Mesh):
-    """Host batch -> device arrays sharded batch-axis-over-dp."""
+    """Host batch -> device arrays sharded batch-axis-over-dp.
+
+    Multi-host pods (`jax.process_count() > 1`): each process passes its
+    PROCESS-LOCAL rows (a `Loader(shard=(rank, world))` slice — the TPU
+    analogue of the reference's `read_count % world_size == rank` reader
+    sharding, tencentpretrain/utils/dataloader.py:32-39) and the global
+    batch is assembled with `jax.make_array_from_process_local_data`;
+    the mesh's dp axis lists devices in process order, so process p's
+    contiguous slice lands at global rows [p*local : (p+1)*local]."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

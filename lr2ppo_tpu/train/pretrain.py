@@ -158,9 +158,14 @@ class PretrainTrainer:
             if self.ctx.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                out[k] = jax.device_put(
-                    v, NamedSharding(self.ctx.mesh,
-                                     P(None, "dp")))
+                sh = NamedSharding(self.ctx.mesh, P(None, "dp"))
+                if jax.process_count() > 1:
+                    # pod: v holds this process's micro rows (the loader's
+                    # per-chunk shard slice); assemble the global
+                    # (accum, micro_global, ...) batch
+                    out[k] = jax.make_array_from_process_local_data(sh, v)
+                else:
+                    out[k] = jax.device_put(v, sh)
             else:
                 out[k] = jnp.asarray(v)
         return out
@@ -180,9 +185,12 @@ class PretrainTrainer:
                 f"accumulation_steps {self.accum}")
         if self.ctx.mesh is not None:
             dp = self.ctx.mesh.shape["dp"]
-            if (rows // self.accum) % dp:
+            # `rows` is this PROCESS's share: the global micro-batch is
+            # world x larger (Loader(shard=..., shard_chunks=accum))
+            global_micro = (rows // self.accum) * jax.process_count()
+            if global_micro % dp:
                 raise ValueError(
-                    f"micro-batch {rows // self.accum} "
+                    f"global micro-batch {global_micro} "
                     f"(batch_size/accumulation_steps) must be divisible "
                     f"by dp={dp}")
         step, start_epoch, skip_batches = 0, 1, 0

@@ -14,6 +14,15 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+def test_dryrun_multichip_pod_2_process():
+    # pod mode: 2 controllers x 2 fake devices, process-local batch rows
+    # assembled with make_array_from_process_local_data (VERDICT r2 #1)
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4, processes=2)
+
+
 def test_dryrun_self_provisions_when_oversubscribed(monkeypatch):
     # 16 > the 8 fake devices of the test backend: must re-exec under a
     # 16-device CPU platform rather than raise. Intercept the subprocess

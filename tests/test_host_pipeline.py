@@ -164,3 +164,53 @@ def test_eval_loader_grows_bucket_beyond_top(tmp_path):
     per_row_tags = np.concatenate([b["mask"].sum(1)[
         np.asarray(b["_idx"]) >= 0] for b in batches])
     assert (per_row_tags == 150).all()    # every tag evaluated
+
+
+def test_loader_shard_slices_global_batches():
+    # every rank's shard slices concatenate back to exactly the
+    # unsharded loader's global batches, in dp-device order
+    ds = _TinyDs(n=24)
+    world, bs = 3, 6
+    full = [list(b["y"]) for b in Loader(ds, bs, shuffle=True, seed=9,
+                                         num_workers=1)]
+    shards = []
+    for rank in range(world):
+        shards.append([list(b["y"]) for b in Loader(
+            ds, bs, shuffle=True, seed=9, num_workers=1,
+            shard=(rank, world))])
+    assert all(len(s) == len(full) for s in shards)
+    for j, gb in enumerate(full):
+        merged = sum((shards[r][j] for r in range(world)), [])
+        assert merged == gb
+
+
+def test_loader_shard_chunks_matches_accum_fold():
+    # shard_chunks=accum: each rank's rows reshape to (accum, micro/world)
+    # and the per-chunk slices tile the global (accum, micro) fold
+    ds = _TinyDs(n=48)
+    world, accum, bs = 2, 3, 12
+    micro = bs // accum
+    full = next(iter(Loader(ds, bs, shuffle=True, seed=4, num_workers=1)))
+    gfold = np.asarray(full["y"]).reshape(accum, micro)
+    locals_ = []
+    for rank in range(world):
+        b = next(iter(Loader(ds, bs, shuffle=True, seed=4, num_workers=1,
+                             shard=(rank, world), shard_chunks=accum)))
+        locals_.append(np.asarray(b["y"]).reshape(accum, micro // world))
+    np.testing.assert_array_equal(np.concatenate(locals_, axis=1), gfold)
+
+
+def test_process_loader_shard_yields_local_rows():
+    ds = _TinyDs(n=20)
+    world, bs = 2, 4
+    full = [list(b["y"]) for b in Loader(ds, bs, shuffle=True, seed=2,
+                                         num_workers=1)]
+    for rank in range(world):
+        pl = ProcessLoader(ds, bs, shuffle=True, seed=2, num_workers=1,
+                           shard=(rank, world))
+        try:
+            got = [list(b["y"]) for b in pl]
+        finally:
+            pl.close()
+        assert got == [
+            fb[rank * bs // world:(rank + 1) * bs // world] for fb in full]

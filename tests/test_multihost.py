@@ -1,14 +1,30 @@
-"""Multi-host bring-up: `initialize_distributed` (parallel/mesh.py, the
-torchrun env:// replacement) exercised for real with two local CPU
-processes rendezvousing through a coordinator and running a cross-process
-collective — round 1 shipped this as dead untested code."""
+"""Multi-host bring-up and pod-style data feeding.
+
+1. `initialize_distributed` (parallel/mesh.py, the torchrun env://
+   replacement) exercised for real with two local CPU processes
+   rendezvousing through a coordinator and running a cross-process
+   collective.
+2. The full process-local input path (VERDICT round-2 #1): two processes
+   each feed ONLY their `Loader(shard=(rank, world))` slice of every
+   global batch through `DeviceCtx.put` (which assembles global arrays
+   via `jax.make_array_from_process_local_data`) into the real
+   `PointwiseTrainer.fit` loop — the TPU analogue of the reference's
+   per-rank reader sharding (tencentpretrain/utils/dataloader.py:32-39,
+   DistributedSampler in finetune/ppo.py:684-699). Both ranks must end
+   with IDENTICAL params, and those params must match a single-process
+   run over the same global batches.
+"""
 
 import os
+import pickle
 import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
 import sys
@@ -41,26 +57,88 @@ assert float(total) == 3.0, float(total)
 print(f"proc {pid} OK total={float(total)}")
 """
 
+# Trains the real PointwiseTrainer over a dp mesh spanning every process,
+# feeding process-local Loader shards; world=1 is the single-process
+# oracle over the identical global batches.
+_TRAIN_CHILD = r"""
+import pickle
+import sys
 
-def _run_rendezvous(env):
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid, world, out = (sys.argv[1], int(sys.argv[2]),
+                                int(sys.argv[3]), sys.argv[4])
+if world > 1:
+    from lr2ppo_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(coordinator=coordinator, num_processes=world,
+                           process_id=pid)
+    assert jax.process_count() == world
+
+import numpy as np
+
+from lr2ppo_tpu.config import Config, ModelConfig
+from lr2ppo_tpu.data.pipeline import Loader
+from lr2ppo_tpu.train.pointwise import PointwiseTrainer
+
+FEAT, SEQ, IMGS, TAGS, BS, N = 8, 3, 2, 2, 4, 16
+rng = np.random.RandomState(3)           # identical data on every rank
+items = [dict(text=rng.randn(TAGS, SEQ, FEAT).astype(np.float32),
+              img=rng.randn(IMGS, FEAT).astype(np.float32),
+              tgts=rng.randint(0, 3, (TAGS,)).astype(np.float32))
+         for _ in range(N)]
+
+
+class DS:
+    def __len__(self):
+        return N
+
+    def get(self, i):
+        return items[i]
+
+
+mcfg = ModelConfig(family="multimodal", feat_size=FEAT, seq_length=SEQ,
+                   max_imgs=IMGS, num_heads=2, mode="reg",
+                   drop_p=0.0, forward_drop_p=0.0)
+cfg = Config(model=mcfg)
+cfg.epochs_num = 2
+cfg.batch_size = BS
+cfg.report_steps = 10 ** 6
+cfg.output_model_path = ""
+
+shard = (jax.process_index(), world) if world > 1 else None
+loader = Loader(DS(), BS, shuffle=True, seed=5, num_workers=1, shard=shard)
+trainer = PointwiseTrainer(cfg)
+state, _ = trainer.fit(loader, None)
+
+host = jax.tree.map(np.asarray, jax.device_get(state.params))
+with open(out, "wb") as f:
+    pickle.dump(host, f)
+print(f"proc {pid}/{world} trained OK")
+"""
+
+
+def _free_port() -> int:
     # bind-then-close port probing is a TOCTOU race on a shared host:
-    # retry the whole rendezvous with a fresh port on failure
+    # callers retry the whole rendezvous with a fresh port on failure
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    coordinator = f"127.0.0.1:{port}"
+        return s.getsockname()[1]
+
+
+def _spawn(script, argv_per_proc, env, timeout=240):
     procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _CHILD, coordinator, str(i)],
-            env=env, cwd=os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
+        subprocess.Popen([sys.executable, "-c", script, *argv],
+                         env=env, cwd=_REPO, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for argv in argv_per_proc
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -69,15 +147,70 @@ def _run_rendezvous(env):
     return procs, outs
 
 
-@pytest.mark.slow
-def test_two_process_distributed_initialize(tmp_path):
+def _cpu_env():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # one real device per process
     env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_two_process_distributed_initialize():
+    env = _cpu_env()
     for attempt in range(3):
-        procs, outs = _run_rendezvous(env)
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs, outs = _spawn(_CHILD, [[coordinator, str(i)]
+                                      for i in range(2)], env)
         if all(p.returncode == 0 for p in procs):
             break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert "OK total=3.0" in out
+
+
+def test_two_process_pointwise_training(tmp_path):
+    env = _cpu_env()
+    # 2-process pod: each rank feeds its Loader shard
+    paths = [str(tmp_path / f"params_{i}.pkl") for i in range(2)]
+    for attempt in range(3):
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs, outs = _spawn(
+            _TRAIN_CHILD,
+            [[coordinator, str(i), "2", paths[i]] for i in range(2)],
+            env, timeout=420)
+        if all(p.returncode == 0 for p in procs):
+            break
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+
+    # single-process oracle over the same global batches
+    base = str(tmp_path / "params_base.pkl")
+    procs, outs = _spawn(_TRAIN_CHILD, [["-", "0", "1", base]], env,
+                         timeout=420)
+    assert procs[0].returncode == 0, outs[0][-3000:]
+
+    trees = []
+    for path in paths + [base]:
+        with open(path, "rb") as f:
+            trees.append(pickle.load(f))
+    r0, r1, oracle = trees
+    flat0 = _flatten(r0)
+    flat1 = _flatten(r1)
+    flatb = _flatten(oracle)
+    assert flat0.keys() == flat1.keys() == flatb.keys()
+    for k in flat0:
+        # SPMD is deterministic: both ranks hold the identical replicated
+        # result, bit for bit
+        np.testing.assert_array_equal(flat0[k], flat1[k], err_msg=k)
+        # and it matches the 1-process run up to reduction-order noise
+        np.testing.assert_allclose(flat0[k], flatb[k], rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + "/" + str(k)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
