@@ -59,6 +59,10 @@ class TorchDense(nn.Module):
     init_style: str = "torch_default"
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    # int8 weight-static / activation-dynamic matmul (ops/int8.py) for
+    # FROZEN models (the stage-3 reward, ppo.py:780): v5e MXU runs
+    # s8xs8->s32 at 2x the bf16 rate and the kernel bytes halve
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -70,8 +74,17 @@ class TorchDense(nn.Module):
             kinit = torch_linear_kernel_init()
             binit = torch_linear_bias_init(fan_in)
         kernel = self.param("kernel", kinit, (fan_in, self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype)
+        if self.int8:
+            from lr2ppo_tpu.ops.int8 import int8_matmul
+
+            kernel_scale = self.param(
+                "kernel_scale", jax.nn.initializers.ones, (self.features,),
+                jnp.float32)
+            y = int8_matmul(x.astype(self.dtype), kernel, kernel_scale,
+                            self.dtype or x.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
@@ -86,15 +99,16 @@ class Mlp(nn.Module):
     drop: float = 0.0
     init_style: str = "torch_default"
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = TorchDense(self.hidden_features, self.init_style, dtype=self.dtype,
-                       name="fc1")(x)
+                       int8=self.int8, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = TorchDense(self.out_features, self.init_style, dtype=self.dtype,
-                       name="fc2")(x)
+                       int8=self.int8, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -109,6 +123,7 @@ class XiTAttention(nn.Module):
     attn_drop: float = 0.0
     init_style: str = "torch_default"
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: Array, y: Array,
@@ -116,9 +131,12 @@ class XiTAttention(nn.Module):
         d = self.feat_size
         h = self.num_heads
         dh = d // h
-        q = TorchDense(d, self.init_style, dtype=self.dtype, name="queries")(x)
-        k = TorchDense(d, self.init_style, dtype=self.dtype, name="keys")(y)
-        v = TorchDense(d, self.init_style, dtype=self.dtype, name="values")(y)
+        q = TorchDense(d, self.init_style, dtype=self.dtype, int8=self.int8,
+                       name="queries")(x)
+        k = TorchDense(d, self.init_style, dtype=self.dtype, int8=self.int8,
+                       name="keys")(y)
+        v = TorchDense(d, self.init_style, dtype=self.dtype, int8=self.int8,
+                       name="values")(y)
 
         *bq, nq, _ = q.shape
         *bk, nk, _ = k.shape
@@ -146,7 +164,7 @@ class XiTAttention(nn.Module):
                          preferred_element_type=self.dtype or jnp.float32)
         out = out.reshape(*bq, nq, d)
         out = TorchDense(d, self.init_style, dtype=self.dtype,
-                         name="projection")(out)
+                         int8=self.int8, name="projection")(out)
         return out
 
 
@@ -177,6 +195,7 @@ class XiT(nn.Module):
     fast_dropout: bool = False
     hash_dropout: bool = False
     dtype: Optional[jnp.dtype] = None
+    int8: bool = False
 
     # only tensors at least this large go through the pallas kernel: the
     # hardware-PRNG win must outweigh the fusion barrier an opaque
@@ -212,7 +231,8 @@ class XiT(nn.Module):
         att = XiTAttention(
             feat_size=self.feat_size, num_heads=self.num_heads,
             causal=self.causal, faithful=self.faithful,
-            init_style=self.init_style, dtype=self.dtype, name="attn",
+            init_style=self.init_style, dtype=self.dtype, int8=self.int8,
+            name="attn",
         )(xn, yn, deterministic=deterministic)
         att = self._drop(att, self.drop_p, deterministic)
         x = x + att
@@ -220,11 +240,11 @@ class XiT(nn.Module):
         hn = nn.LayerNorm(epsilon=1e-5, name="ln_ffn")(x)
         hdn = self.forward_expansion * self.feat_size
         hcur = TorchDense(hdn, self.init_style, dtype=self.dtype,
-                          name="ffn_fc1")(hn)
+                          int8=self.int8, name="ffn_fc1")(hn)
         hcur = nn.gelu(hcur, approximate=False)
         hcur = self._drop(hcur, self.forward_drop_p, deterministic)
         hcur = TorchDense(self.feat_size, self.init_style, dtype=self.dtype,
-                          name="ffn_fc2")(hcur)
+                          int8=self.int8, name="ffn_fc2")(hcur)
         hcur = self._drop(hcur, self.drop_p, deterministic)
         x = x + hcur
 

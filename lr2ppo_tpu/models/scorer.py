@@ -53,7 +53,8 @@ class FusionTrunk(nn.Module):
         cfg = self.cfg
         d = cfg.feat_size
         hidden = cfg.mlp_ratio * d
-        mlp = lambda name: Mlp(hidden, d, 0.0, cfg.init_style, self.dtype, name=name)
+        mlp = lambda name: Mlp(hidden, d, 0.0, cfg.init_style, self.dtype,
+                               int8=cfg.int8, name=name)
 
         if cfg.family == "multimodal":
             b, t = text_emb.shape[:2]
@@ -67,7 +68,7 @@ class FusionTrunk(nn.Module):
                     pallas_dropout=cfg.pallas_dropout,
                     fast_dropout=cfg.fast_dropout,
                     hash_dropout=cfg.hash_dropout, dtype=self.dtype,
-                    name="xit")(tfeat, ifeat, deterministic)
+                    int8=cfg.int8, name="xit")(tfeat, ifeat, deterministic)
             ib = jnp.broadcast_to(ifeat, (b, t) + ifeat.shape[2:])
             x = jnp.concatenate([x, ib], axis=2)        # (B, T, S+I, D)
         else:
@@ -81,7 +82,7 @@ class FusionTrunk(nn.Module):
                     pallas_dropout=cfg.pallas_dropout,
                     fast_dropout=cfg.fast_dropout,
                     hash_dropout=cfg.hash_dropout, dtype=self.dtype,
-                    name="xit")(tokens, tokens, deterministic)
+                    int8=cfg.int8, name="xit")(tokens, tokens, deterministic)
             x = jnp.concatenate([x, tokens], axis=2)    # (B, T, 2, D)
 
         x = x.reshape(b, t, -1)                         # (B, T, fusion_tokens*D)
@@ -118,7 +119,7 @@ class ScoreModel(nn.Module):
             text_emb, img_emb, deterministic)
         out = 1 if cfg.mode == "reg" else cfg.labels_num
         logits = TorchDense(out, cfg.init_style, dtype=self.dtype,
-                            name="head")(x)
+                            int8=cfg.int8, name="head")(x)
         if cfg.mode == "reg":
             return logits[..., 0]
         return logits
@@ -163,9 +164,9 @@ class SeqScoreModel(nn.Module):
                 pallas_dropout=cfg.pallas_dropout,
                 fast_dropout=cfg.fast_dropout,
                     hash_dropout=cfg.hash_dropout, dtype=self.dtype,
-                name="xitt")(x, x, deterministic)
+                int8=cfg.int8, name="xitt")(x, x, deterministic)
         logits = TorchDense(1, cfg.init_style, dtype=self.dtype,
-                            name="head")(x)            # (B, K, 1)
+                            int8=cfg.int8, name="head")(x)  # (B, K, 1)
         return logits[:, -1, 0]                        # (B,)
 
 
@@ -192,12 +193,13 @@ class TwoDataScoreModel(nn.Module):
         d = cfg.feat_size
         self.projs = {
             dim: Mlp(cfg.mlp_ratio * d, d, 0.0, cfg.init_style, self.dtype,
-                     name=self._proj_name(dim))
+                     int8=cfg.int8, name=self._proj_name(dim))
             for dim in cfg.trad_dims
         }
         self.trunk = FusionTrunk(cfg, self.dtype)
         out = 1 if cfg.mode == "reg" else cfg.labels_num
-        self.head = TorchDense(out, cfg.init_style, dtype=self.dtype)
+        self.head = TorchDense(out, cfg.init_style, dtype=self.dtype,
+                               int8=cfg.int8)
 
     def __call__(self, text_emb: Array, img_emb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:

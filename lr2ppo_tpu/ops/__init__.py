@@ -9,6 +9,8 @@ from lr2ppo_tpu.ops.losses import (  # noqa: F401
     categorical_entropy,
     log_sig_loss,
     safe_log,
+    pl_log_prob,
+    gae_advantages,
 )
 from lr2ppo_tpu.ops.ndcg import (  # noqa: F401
     dcg_at_k,

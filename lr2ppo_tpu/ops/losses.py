@@ -114,3 +114,46 @@ def cls_expected_scores(logits):
     by the PPO rollout/update and the batched NDCG evaluator."""
     p = jax.nn.softmax(logits, axis=-1)
     return p[..., 1] * 1.0 + p[..., 2] * 2.0
+
+
+def pl_log_prob(scores: Array, order: Array) -> Array:
+    """Plackett-Luce log-probability of picking `order` (B, K) under
+    `scores` (B, T): sum_i [ s_{o_i} - logsumexp(s_{o_i..o_K}) ].
+
+    Used by the improved-PPO clipped surrogate (ppo.surrogate_clip):
+    the rollout's deterministic re-ranking is read as a sample from the
+    PL distribution its scores induce, giving a proper probability
+    ratio for the clip (the reference parses eps_clip but never uses
+    it, ppo.py:730)."""
+    s = jnp.take_along_axis(scores, order.astype(jnp.int32), axis=1)
+    rev = jnp.flip(s, axis=1)
+    lse = jnp.flip(jax.lax.associative_scan(jnp.logaddexp, rev, axis=1),
+                   axis=1)
+    return (s - lse).sum(axis=1)
+
+
+def gae_advantages(rewards: Array, values: Array, cont: Array,
+                   gamma: float, lam: float):
+    """Generalized Advantage Estimation over a stacked memory window.
+
+    rewards/values: (N, B) — the sweep's memories in rollout order;
+    cont: (N,) 1.0 where memory i+1 continues memory i's trajectory
+    (same batch, next timestep), 0.0 at trajectory/sweep boundaries
+    (bootstrap V=0 — episodes end when the window does).
+    Returns (advantages, returns), each (N, B).
+    """
+    n = rewards.shape[0]
+    v_next = jnp.concatenate([values[1:], jnp.zeros_like(values[-1:])])
+    delta = rewards + gamma * cont[:, None] * v_next - values
+
+    def step(carry, x):
+        d, c = x
+        a = d + gamma * lam * c * carry
+        return a, a
+
+    del n
+    _, adv_rev = jax.lax.scan(
+        step, jnp.zeros_like(delta[0]),
+        (jnp.flip(delta, 0), jnp.flip(cont)[:, None].astype(delta.dtype)))
+    adv = jnp.flip(adv_rev, 0)
+    return adv, adv + values

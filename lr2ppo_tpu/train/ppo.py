@@ -80,7 +80,7 @@ def make_update_step(actor: ScoreModel, critic: SeqScoreModel,
     @partial(jax.jit, donate_argnums=(0, 1))
     def update_step(astate: TrainState, cstate: TrainState, rng,
                     text, img, state, next_state, old_scores, rewards,
-                    old_value):
+                    old_value, gae_adv=None, gae_ret=None):
         ra, rc = jax.random.split(rng)
 
         def actor_loss(params):
@@ -90,12 +90,34 @@ def make_update_step(actor: ScoreModel, critic: SeqScoreModel,
             kl = categorical_kl(old_scores, scores)            # (B,)
             entropy = categorical_entropy(scores)              # (B,)
             rew = rewards - ppo.kl_div_loss_weight * kl        # (B,)
-            adv = rew - old_value                              # one-step
+            if ppo.use_gae:
+                # improved mode (VERDICT r2 #7): GAE advantages computed
+                # over the sweep window (ops/losses.py:gae_advantages),
+                # KL penalty applied the same way the faithful path
+                # folds it into the one-step advantage
+                adv = gae_adv - ppo.kl_div_loss_weight * kl
+            else:
+                adv = rew - old_value                          # one-step
             tail = next_state[:, -2:]
             flip = adv < ppo.advantage_eps
             rank_states = jnp.where(flip[:, None], tail[:, ::-1], tail)
             rank_loss = rank_hinge_loss(scores, rank_states, ppo.rank_margin)
             policy = rank_loss * jnp.abs(adv) - ppo.entropy_weight * entropy
+            if ppo.surrogate_clip:
+                # real clipped surrogate: ratio of Plackett-Luce
+                # probabilities of the ranking the rollout actually took
+                # — gives the reference's parsed-but-dead eps_clip
+                # (ppo.py:730) actual semantics
+                from lr2ppo_tpu.ops import pl_log_prob
+
+                logp_new = pl_log_prob(scores, tail)
+                logp_old = pl_log_prob(old_scores, tail)
+                ratio = jnp.exp(logp_new - logp_old)
+                a = jax.lax.stop_gradient(adv)
+                policy = policy - jnp.minimum(
+                    ratio * a,
+                    jnp.clip(ratio, 1.0 - ppo.eps_clip,
+                             1.0 + ppo.eps_clip) * a)
             loss = policy.mean()
             aux = {
                 "kl": kl.mean(), "entropy": entropy.mean(),
@@ -109,11 +131,14 @@ def make_update_step(actor: ScoreModel, critic: SeqScoreModel,
         new_astate = apply_updates(astate, {"params": agrads}, atx)
 
         rew_detached = jax.lax.stop_gradient(aux.pop("rewards_adj"))
+        # GAE mode regresses the critic on the window returns instead of
+        # the KL-shifted one-step reward
+        vtarget = gae_ret if ppo.use_gae else rew_detached
 
         def critic_loss(params):
             value = critic.apply({"params": params}, text, img, state, False,
                                  rngs={"dropout": rc})
-            vloss = clipped_value_loss(value, rew_detached, old_value,
+            vloss = clipped_value_loss(value, vtarget, old_value,
                                        ppo.value_clip)
             return vloss, value
 
@@ -140,9 +165,22 @@ class PPOTrainer:
         dtype = jnp.dtype(cfg.mesh.compute_dtype)
         self.actor = ScoreModel(cfg.model, dtype)
         self.critic = SeqScoreModel(cfg.model, dtype)
-        self.reward = SeqScoreModel(cfg.model, dtype)
+        # the reward model is FROZEN (ppo.py:780): under ppo.reward_int8
+        # it runs int8 weight-static matmuls (2x MXU rate, half the
+        # param HBM; ops/int8.py) — the trainable actor/critic stay at
+        # the compute dtype
+        rmcfg = cfg.model
+        if cfg.ppo.reward_int8:
+            import dataclasses
+
+            rmcfg = dataclasses.replace(cfg.model, int8=True)
+        self.reward = SeqScoreModel(rmcfg, dtype)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype)
+        from lr2ppo_tpu.ops import gae_advantages
+
+        self._gae_jit = partial(jax.jit, static_argnums=(3, 4))(
+            gae_advantages)
 
     # -- parameter loading (key contract: ppo.py:769-771) ---------------
     def init_params(self, sample_batch, seed: int, reward_only: bool = False):
@@ -181,7 +219,12 @@ class PPOTrainer:
         # the reward model is frozen (ppo.py:780): store its ~520M params
         # at the compute dtype — fp32 copies of a pure-inference model
         # cost an extra GB of HBM the update step needs
-        if self.ctx.cast_dtype is not None:
+        if cfg.ppo.reward_int8:
+            from lr2ppo_tpu.ops.int8 import quantize_tree
+
+            reward_p = quantize_tree(
+                reward_p, jnp.dtype(self.ctx.cast_dtype or jnp.float32))
+        elif self.ctx.cast_dtype is not None:
             reward_p = jax.tree.map(
                 lambda x: x.astype(self.ctx.cast_dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, reward_p)
@@ -345,6 +388,7 @@ class PPOTrainer:
                         memories.append({
                             "dev": (b["text"], b.get("img"), state,
                                     next_state, scores, rew, value),
+                            "t": _t,
                         })
                     else:
                         memories.append({
@@ -354,6 +398,7 @@ class PPOTrainer:
                             "old_scores": np.asarray(scores),
                             "rewards": np.asarray(rew),
                             "old_value": np.asarray(value),
+                            "t": _t,
                         })
                     state = next_state
                     time_ctr += 1
@@ -431,13 +476,43 @@ class PPOTrainer:
                     jnp.asarray(mem["rewards"]),
                     jnp.asarray(mem["old_value"]))
 
+        gae_kw = [{} for _ in memories]
+        if self.cfg.ppo.use_gae and memories:
+            # GAE over the whole sweep window in ONE tiny jitted scan —
+            # the (N, B) reward/value stacks stay on device, no host sync
+            from lr2ppo_tpu.ops import gae_advantages
+
+            g = self.cfg.ppo
+
+            def _rv(m):
+                if "dev" in m:
+                    return m["dev"][5], m["dev"][6]
+                return jnp.asarray(m["rewards"]), jnp.asarray(m["old_value"])
+
+            pairs = [_rv(m) for m in memories]
+            rew_stack = jnp.stack([p[0] for p in pairs])
+            val_stack = jnp.stack([p[1] for p in pairs])
+            ts = [m["t"] for m in memories]
+            cont = np.zeros(len(memories), np.float32)
+            for i in range(len(memories) - 1):
+                # memory i+1 continues i's trajectory iff it is the next
+                # timestep of the SAME batch (timesteps of one batch are
+                # appended consecutively)
+                cont[i] = 1.0 if ts[i + 1] == ts[i] + 1 else 0.0
+            adv_all, ret_all = self._gae_jit(
+                rew_stack, val_stack, jnp.asarray(cont),
+                g.gae_gamma, g.gae_lambda)
+            gae_kw = [{"gae_adv": adv_all[i], "gae_ret": ret_all[i]}
+                      for i in range(len(memories))]
+
         agg = None
         pending = put(memories[0]) if memories else None
         for i in range(len(memories)):
             cur, pending = pending, (put(memories[i + 1])
                                      if i + 1 < len(memories) else None)
             key, sub = jax.random.split(key)
-            astate, cstate, metrics = update_step(astate, cstate, sub, *cur)
+            astate, cstate, metrics = update_step(astate, cstate, sub, *cur,
+                                                  **gae_kw[i])
             agg = metrics if agg is None else jax.tree.map(
                 jnp.add, agg, metrics)
         n = max(len(memories), 1)
