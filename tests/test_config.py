@@ -75,3 +75,57 @@ def test_round2_flag_routes():
     assert cfg.data.preload == "never"
     assert cfg.data.item_dtype == "float32"
     assert cfg.data.num_workers == 3
+
+
+def test_profile_fast_selects_production_preset():
+    """VERDICT r2 #4: one flag reproduces the benched configuration."""
+    from lr2ppo_tpu.config import parse_config
+
+    cfg = parse_config(["--profile", "fast"])
+    assert cfg.mesh.compute_dtype == "bfloat16"
+    assert cfg.optim.moment_dtype == "bfloat16"
+    assert cfg.model.hash_dropout is True
+
+    # explicit CLI flags outrank the profile
+    cfg2 = parse_config(["--profile", "fast",
+                         "--compute_dtype", "float32"])
+    assert cfg2.mesh.compute_dtype == "float32"
+    assert cfg2.optim.moment_dtype == "bfloat16"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_config(["--profile", "warp9"])
+
+
+def test_bench_config_is_profile_fast(monkeypatch):
+    """bench.py measures EXACTLY what `cli/ppo.py --profile fast` builds:
+    same model config, same optimizer dtype, same compute dtype."""
+    import dataclasses
+    import importlib.util
+    import os
+
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.config import ModelConfig, parse_config
+    from lr2ppo_tpu.train.ppo import PPOTrainer
+
+    for env in ("LR2PPO_BENCH_REMAT", "LR2PPO_BENCH_PALLAS",
+                "LR2PPO_BENCH_HASH"):
+        monkeypatch.delenv(env, raising=False)
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    bcfg = bench.fast_config()
+    ccfg = parse_config(["--profile", "fast", "--seq_length", "196",
+                         "--max_imgs", "16", "--mode", "reg"])
+    assert bcfg.model == ccfg.model
+    assert bcfg.optim == ccfg.optim
+    assert bcfg.mesh == ccfg.mesh
+    # and the trainer instantiates the models at the profile dtype
+    trainer = PPOTrainer(ccfg.replace(model=dataclasses.replace(
+        ModelConfig(), hash_dropout=True)), use_mesh=False)
+    assert trainer.actor.dtype == jnp.bfloat16
