@@ -32,20 +32,33 @@ from lr2ppo_tpu.towers.extract import (
 )
 
 
-def load_frames(image_dir: str, height: int, width: int) -> np.ndarray:
+def load_frames(image_dir: str, height: int, width: int,
+                workers: int = 1) -> np.ndarray:
     """All images of one item -> (N, 3, H, W) float32 in [0,1]
-    (ZeroOneNormalize, reference utils/misc.py:37-39)."""
+    (ZeroOneNormalize, reference utils/misc.py:37-39).
+
+    `workers` > 1 decodes/resizes frames on a thread pool — PIL drops
+    the GIL inside JPEG decode and resampling, so this scales with
+    cores (VERDICT r2 #10: at LRMovieNet scale — thousands of clips x
+    keyframes — host decode dominates extraction wall-clock)."""
     from PIL import Image
 
-    frames = []
-    for name in sorted(os.listdir(image_dir)):
+    def one(name: str):
         p = os.path.join(image_dir, name)
         try:
             img = Image.open(p).convert("RGB").resize((width, height))
         except Exception:
-            continue
-        arr = np.asarray(img, np.float32) / 255.0
-        frames.append(arr.transpose(2, 0, 1))
+            return None
+        return (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+
+    names = sorted(os.listdir(image_dir))
+    if workers > 1 and len(names) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(workers, len(names))) as ex:
+            frames = [f for f in ex.map(one, names) if f is not None]
+    else:
+        frames = [f for f in map(one, names) if f is not None]
     if not frames:
         raise FileNotFoundError(f"no readable frames in {image_dir}")
     return np.stack(frames)
@@ -61,15 +74,22 @@ def main(argv=None) -> None:
     p.add_argument("--vit_ckpt", required=True)
     p.add_argument("--tokenizer_json", default=None)
     p.add_argument("--spm_model", default=None)
+    p.add_argument("--vocab_path", default=None,
+                   help="plain token<TAB>score vocab for the built-in "
+                        "Unigram backend (self-contained, no "
+                        "sentencepiece needed)")
     p.add_argument("--output", required=True)
     p.add_argument("--seq_length", type=int, default=196)
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--decode_workers", type=int,
+                   default=min(os.cpu_count() or 1, 8))
     args = p.parse_args(argv)
 
     from lr2ppo_tpu.data.tokenizers import XLMRobertaTokenizer
 
     tok = XLMRobertaTokenizer(spm_model_path=args.spm_model,
-                              tokenizer_json_path=args.tokenizer_json)
+                              tokenizer_json_path=args.tokenizer_json,
+                              vocab_path=args.vocab_path)
     text_cfg = TowerConfig.from_json(args.text_config)
     vit_cfg = TowerConfig.from_json(args.vit_config)
     text_x = TextFeatureExtractor(text_cfg,
@@ -84,27 +104,47 @@ def main(argv=None) -> None:
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".",
                 exist_ok=True)
-    with h5py.File(args.output, "w") as hf:
-        for item in items:
-            iid = item["id"]
-            # frames FIRST (cheap): a missing keyframe dir must not
-            # abort an hours-long export nor waste the text forward
-            try:
-                frames = load_frames(
-                    os.path.join(args.image_root, str(iid)),
-                    vit_cfg.image_height, vit_cfg.image_width)
-            except (FileNotFoundError, NotADirectoryError, OSError) as e:
-                print(f"SKIP {iid}: keyframes unreadable ({e})")
-                continue
-            if len(frames) == 0:
-                print(f"SKIP {iid}: no decodable keyframes")
-                continue
-            tags = [t["tag"] for t in item["tags"]]
-            text_emb = text_x(tags, args.batch)
-            img_emb = img_x(frames, args.batch)
-            write_clean_feat(args.output, iid, text_emb, img_emb,
-                             h5_file=hf)
-            print(f"{iid}: text {text_emb.shape} img {img_emb.shape}")
+    # Pipelined extraction (VERDICT r2 #10): item k+1's keyframes decode
+    # on a host thread pool WHILE the towers embed item k on the device
+    # (jax dispatch is async, so the two legs genuinely overlap); frames
+    # decode first — a missing keyframe dir must not abort an hours-long
+    # export nor waste the text forward.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def decode_item(item):
+        iid = item["id"]
+        try:
+            frames = load_frames(
+                os.path.join(args.image_root, str(iid)),
+                vit_cfg.image_height, vit_cfg.image_width,
+                workers=args.decode_workers)
+        except (FileNotFoundError, NotADirectoryError, OSError) as e:
+            return item, None, str(e)
+        return item, frames, None
+
+    lookahead = ThreadPoolExecutor(1)
+    try:
+        with h5py.File(args.output, "w") as hf:
+            pending = lookahead.submit(decode_item, items[0]) if items else None
+            for k in range(len(items)):
+                item, frames, err = pending.result()
+                pending = (lookahead.submit(decode_item, items[k + 1])
+                           if k + 1 < len(items) else None)
+                iid = item["id"]
+                if err is not None:
+                    print(f"SKIP {iid}: keyframes unreadable ({err})")
+                    continue
+                if len(frames) == 0:
+                    print(f"SKIP {iid}: no decodable keyframes")
+                    continue
+                tags = [t["tag"] for t in item["tags"]]
+                text_emb = text_x(tags, args.batch)
+                img_emb = img_x(frames, args.batch)
+                write_clean_feat(args.output, iid, text_emb, img_emb,
+                                 h5_file=hf)
+                print(f"{iid}: text {text_emb.shape} img {img_emb.shape}")
+    finally:
+        lookahead.shutdown(wait=True)
 
 
 if __name__ == "__main__":

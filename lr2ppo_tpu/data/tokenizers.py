@@ -351,17 +351,158 @@ class BPETokenizer(BaseTokenizer):
             "utf-8", errors="replace")
 
 
+class SentencePieceUnigram:
+    """Pure-Python sentencepiece Unigram model — no `sentencepiece`
+    dependency (VERDICT r2 #9: the multimodal re-extraction path must be
+    runnable self-contained in this image).
+
+    Loads either a real sentencepiece `.model` file (the protobuf wire
+    format is parsed directly: ModelProto.pieces = repeated field 1,
+    each SentencePiece = {piece: field 1 (string), score: field 2
+    (float32), type: field 3 (varint)}) or a plain vocab file with
+    `token<TAB>score` (score optional) per line. Segmentation is the
+    standard Unigram Viterbi: maximize the sum of piece log-probs over
+    the "▁"-escaped text, with per-character unknown fallback.
+    """
+
+    SPACE = "▁"            # ▁
+    UNK_PENALTY = -100.0        # sentencepiece's unk_penalty default order
+
+    def __init__(self, pieces):
+        """pieces: iterable of (piece, score) in id order."""
+        self.vocab: dict = {}
+        self.scores: dict = {}
+        for i, (p, s) in enumerate(pieces):
+            if p not in self.vocab:
+                self.vocab[p] = i
+            self.scores[p] = float(s)
+        self.max_len = max((len(p) for p in self.vocab), default=1)
+
+    # -- loading --------------------------------------------------------
+    @staticmethod
+    def _varint(buf: bytes, i: int):
+        shift = val = 0
+        while True:
+            b = buf[i]
+            i += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    @classmethod
+    def from_model_proto(cls, path: str) -> "SentencePieceUnigram":
+        import struct
+
+        with open(path, "rb") as f:
+            buf = f.read()
+        pieces = []
+        i, n = 0, len(buf)
+        while i < n:
+            tag, i = cls._varint(buf, i)
+            field, wire = tag >> 3, tag & 7
+            if field == 1 and wire == 2:          # ModelProto.pieces
+                ln, i = cls._varint(buf, i)
+                sub, j = buf[i: i + ln], 0
+                i += ln
+                piece, score = "", 0.0
+                while j < ln:
+                    t2, j = cls._varint(sub, j)
+                    f2, w2 = t2 >> 3, t2 & 7
+                    if f2 == 1 and w2 == 2:       # piece
+                        l2, j = cls._varint(sub, j)
+                        piece = sub[j: j + l2].decode("utf-8", "replace")
+                        j += l2
+                    elif f2 == 2 and w2 == 5:     # score (float32)
+                        score = struct.unpack("<f", sub[j: j + 4])[0]
+                        j += 4
+                    elif w2 == 0:
+                        _, j = cls._varint(sub, j)
+                    elif w2 == 2:
+                        l2, j = cls._varint(sub, j)
+                        j += l2
+                    elif w2 == 5:
+                        j += 4
+                    elif w2 == 1:
+                        j += 8
+                    else:
+                        raise ValueError(f"bad wire type {w2} in {path}")
+                pieces.append((piece, score))
+            elif wire == 0:
+                _, i = cls._varint(buf, i)
+            elif wire == 2:
+                ln, i = cls._varint(buf, i)
+                i += ln
+            elif wire == 5:
+                i += 4
+            elif wire == 1:
+                i += 8
+            else:
+                raise ValueError(f"bad wire type {wire} in {path}")
+        if not pieces:
+            raise ValueError(f"{path}: no sentencepiece pieces found")
+        return cls(pieces)
+
+    @classmethod
+    def from_vocab_file(cls, path: str) -> "SentencePieceUnigram":
+        pieces = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                parts = line.split("\t")
+                score = float(parts[1]) if len(parts) > 1 else 0.0
+                pieces.append((parts[0], score))
+        return cls(pieces)
+
+    # -- segmentation ---------------------------------------------------
+    def encode(self, text: str):
+        s = self.SPACE + text.replace(" ", self.SPACE)
+        n = len(s)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            top = min(self.max_len, n - i)
+            for ln in range(1, top + 1):
+                piece = s[i: i + ln]
+                sc = self.scores.get(piece)
+                if sc is None:
+                    if ln > 1:
+                        continue
+                    sc = self.UNK_PENALTY   # unknown char fallback
+                cand = best[i] + sc
+                if cand > best[i + ln]:
+                    best[i + ln] = cand
+                    back[i + ln] = i
+        out = []
+        i = n
+        while i > 0:
+            j = back[i]
+            out.append(s[j:i])
+            i = j
+        return out[::-1]
+
+
 class XLMRobertaTokenizer(BaseTokenizer):
     """XLM-R sentencepiece tokenizer (reference tokenizers.py:340-420).
 
-    Backends, in order: `sentencepiece` (spm_model_path), HF `tokenizers`
-    (tokenizer_json_path). Neither shipped asset is in this image, so the
-    constructor raises a clear error when no backend/asset is available.
+    Backends, in order:
+      1. `sentencepiece` package (spm_model_path) — exact reference path;
+      2. HF `tokenizers` (tokenizer_json_path);
+      3. pure-Python Unigram (`SentencePieceUnigram`): parses the .model
+         protobuf itself, or a plain `token<TAB>score` vocab
+         (vocab_path) — fully self-contained in this image.
     """
 
     def __init__(self, spm_model_path: Optional[str] = None,
                  tokenizer_json_path: Optional[str] = None,
-                 special_tokens_path: Optional[str] = None):
+                 special_tokens_path: Optional[str] = None,
+                 vocab_path: Optional[str] = None):
         self.specials = load_special_tokens(special_tokens_path)
         self.unk = self.specials["unk_token"]
         self.backend = None
@@ -377,20 +518,34 @@ class XLMRobertaTokenizer(BaseTokenizer):
             except ImportError:
                 pass
         if self.backend is None and tokenizer_json_path:
-            from tokenizers import Tokenizer as HFTokenizer
+            try:
+                from tokenizers import Tokenizer as HFTokenizer
 
-            self.hf = HFTokenizer.from_file(tokenizer_json_path)
-            self.backend = "hf"
-            self.vocab = self.hf.get_vocab()
+                self.hf = HFTokenizer.from_file(tokenizer_json_path)
+                self.backend = "hf"
+                self.vocab = self.hf.get_vocab()
+            except ImportError:
+                pass
+        if self.backend is None and spm_model_path:
+            self.uni = SentencePieceUnigram.from_model_proto(spm_model_path)
+            self.backend = "unigram"
+            self.vocab = dict(self.uni.vocab)
+        if self.backend is None and vocab_path:
+            self.uni = SentencePieceUnigram.from_vocab_file(vocab_path)
+            self.backend = "unigram"
+            self.vocab = dict(self.uni.vocab)
         if self.backend is None:
             raise RuntimeError(
-                "XLMRobertaTokenizer needs either sentencepiece + an .spm "
-                "model or a tokenizer.json for the HF tokenizers backend")
+                "XLMRobertaTokenizer needs an .spm model (sentencepiece "
+                "package or the built-in protobuf parser), a tokenizer.json "
+                "(HF tokenizers), or a plain token<TAB>score vocab file")
         self.inv_vocab = {v: k for k, v in self.vocab.items()}
 
     def tokenize(self, text, use_vocab=True):
         if self.backend == "spm":
             return self.sp.EncodeAsPieces(text)
+        if self.backend == "unigram":
+            return self.uni.encode(text)
         return self.hf.encode(text, add_special_tokens=False).tokens
 
     def convert_tokens_to_ids(self, tokens):

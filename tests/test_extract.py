@@ -81,3 +81,25 @@ def test_extract_to_movienet_roundtrip(tmp_path):
     assert item["text"].shape == (3, 8, 16)
     assert item["img"].shape == (2, 16)
     assert np.isfinite(item["text"]).all()
+
+
+def test_load_frames_threaded_matches_sequential(tmp_path):
+    """VERDICT r2 #10: thread-pool decode must yield byte-identical
+    frames in the same (sorted) order as the sequential path, skipping
+    unreadable files either way."""
+    from PIL import Image
+
+    from lr2ppo_tpu.cli.preprocess import load_frames
+
+    d = tmp_path / "item0"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = (rng.rand(10, 12, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"f{i:02d}.png")
+    (d / "broken.png").write_bytes(b"not an image")
+
+    seq = load_frames(str(d), 8, 8, workers=1)
+    par = load_frames(str(d), 8, 8, workers=4)
+    assert seq.shape == (6, 3, 8, 8)
+    np.testing.assert_array_equal(seq, par)

@@ -113,3 +113,82 @@ def test_vocab_build_multiprocess_matches_single(tmp_path):
     multi = Vocab.build(str(corpus), tok, min_count=2, workers_num=3)
     assert single.i2w == multi.i2w
     assert len(single) > 5
+
+
+class TestSentencePieceUnigram:
+    """Pure-Python Unigram backend (VERDICT r2 #9): the XLM-R path must
+    run self-contained — no sentencepiece package, no shipped assets."""
+
+    PIECES = [("<unk>", 0.0), ("<s>", 0.0), ("</s>", 0.0),
+              ("▁hello", -1.0), ("▁world", -1.2),
+              ("▁hel", -3.0), ("lo", -3.5), ("▁", -4.0),
+              ("h", -6.0), ("e", -6.0), ("l", -6.0), ("o", -6.0),
+              ("w", -6.0), ("r", -6.0), ("d", -6.0)]
+
+    def _spm_bytes(self):
+        """Serialize PIECES as a real sentencepiece ModelProto (pieces =
+        repeated field 1 of {piece: field 1 string, score: field 2
+        float32}) so the wire-format parser is tested against the actual
+        encoding."""
+        import struct
+
+        def varint(v):
+            out = b""
+            while True:
+                b7 = v & 0x7F
+                v >>= 7
+                out += bytes([b7 | (0x80 if v else 0)])
+                if not v:
+                    return out
+
+        blob = b""
+        for piece, score in self.PIECES:
+            pb = piece.encode("utf-8")
+            sub = (b"\x0a" + varint(len(pb)) + pb            # field 1, wire 2
+                   + b"\x15" + struct.pack("<f", score))     # field 2, wire 5
+            blob += b"\x0a" + varint(len(sub)) + sub         # ModelProto.pieces
+        # trailing unrelated field (trainer_spec, field 2 wire 2): must be
+        # skipped cleanly
+        blob += b"\x12\x02\x08\x01"
+        return blob
+
+    def test_viterbi_prefers_whole_words(self):
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        uni = SentencePieceUnigram(self.PIECES)
+        assert uni.encode("hello world") == ["▁hello", "▁world"]
+        # unknown chars fall back per character, known pieces still win
+        assert uni.encode("hellox")[:1] == ["▁hello"]
+
+    def test_model_proto_roundtrip(self, tmp_path):
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        p = tmp_path / "toy.model"
+        p.write_bytes(self._spm_bytes())
+        uni = SentencePieceUnigram.from_model_proto(str(p))
+        assert uni.vocab["▁hello"] == 3
+        assert abs(uni.scores["▁world"] - (-1.2)) < 1e-6
+        assert uni.encode("hello world") == ["▁hello", "▁world"]
+
+    def test_xlmr_tokenizer_self_contained(self, tmp_path):
+        from lr2ppo_tpu.data.tokenizers import XLMRobertaTokenizer
+
+        # .model file through the built-in parser (no sentencepiece pkg
+        # -> backend must be 'unigram' in this image, 'spm' if present:
+        # both tokenize identically on this toy model)
+        mp = tmp_path / "toy.model"
+        mp.write_bytes(self._spm_bytes())
+        tok = XLMRobertaTokenizer(spm_model_path=str(mp))
+        toks = tok.tokenize("hello world")
+        assert toks == ["▁hello", "▁world"]
+        ids = tok.convert_tokens_to_ids(toks)
+        assert ids == [3, 4]
+
+        # plain vocab path
+        vp = tmp_path / "vocab.txt"
+        vp.write_text("".join(f"{p}\t{s}\n" for p, s in self.PIECES),
+                      encoding="utf-8")
+        tok2 = XLMRobertaTokenizer(vocab_path=str(vp))
+        assert tok2.backend == "unigram"
+        assert tok2.tokenize("hello world") == toks
+        assert tok2.convert_tokens_to_ids(toks) == ids
