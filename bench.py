@@ -79,9 +79,19 @@ def build(bs: int):
     cfg = fast_config()
     mcfg = cfg.model
     dtype = jnp.dtype(cfg.mesh.compute_dtype)
+    # LR2PPO_BENCH_INT8=1: int8-quantized frozen reward (ops/int8.py).
+    # Measured bs=256: 32.6 -> 31.8 ms reward fwd (1.02x — XLA's s8xs8
+    # dot does not beat bf16 on this chip); kept as an A/B knob, the
+    # production value is the halved reward HBM (~0.5 GB).
+    reward_int8 = os.environ.get("LR2PPO_BENCH_INT8", "0") == "1"
     actor = ScoreModel(mcfg, dtype)
     critic = SeqScoreModel(mcfg, dtype)
-    reward = SeqScoreModel(mcfg, dtype)
+    if reward_int8:
+        import dataclasses
+
+        reward = SeqScoreModel(dataclasses.replace(mcfg, int8=True), dtype)
+    else:
+        reward = SeqScoreModel(mcfg, dtype)
 
     tags = 2
     key = jax.random.PRNGKey(0)
@@ -94,10 +104,15 @@ def build(bs: int):
 
     actor_p = jax.jit(actor.init)(ka, text, img)
     critic_p = jax.jit(critic.init)(kc, text, img, idx4)
-    # frozen inference-only model: keep its params in bf16
-    reward_p = jax.tree.map(
-        lambda x: x.astype(dtype),
-        jax.jit(reward.init)(kr, text, img, idx4))
+    # frozen inference-only model: keep its params in bf16 (int8 mode
+    # quantizes the kernels instead — half the bytes again)
+    reward_p = jax.jit(reward.init)(kr, text, img, idx4)
+    if reward_int8:
+        from lr2ppo_tpu.ops.int8 import quantize_tree
+
+        reward_p = quantize_tree(reward_p, dtype)
+    else:
+        reward_p = jax.tree.map(lambda x: x.astype(dtype), reward_p)
 
     tx = build_optimizer(cfg.optim, train_steps=1000)
     astate = init_state(actor_p, tx)

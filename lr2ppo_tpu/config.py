@@ -210,6 +210,11 @@ class Config:
     epochs_num: int = 3
     batch_size: int = 32
     report_steps: int = 100
+    # PPO eval cadence in SWEEPS: 0 = the reference behavior (full val
+    # NDCG after every sweep, ppo.py:930); N > 0 evaluates every Nth
+    # sweep — at production sweep counts the full-val pass otherwise
+    # dominates wall-clock
+    eval_steps: int = 0
     seed: int = 7
     output_model_path: str = "ckpt/finetuned_model"
     log_path: Optional[str] = None
@@ -347,7 +352,8 @@ _FLAG_ROUTES = {
 _FLAG_TYPES = {"grad_clip": float, "moment_dtype": str}
 
 _TOP_FLAGS = [
-    "exp_name", "epochs_num", "batch_size", "report_steps", "seed",
+    "exp_name", "epochs_num", "batch_size", "report_steps", "eval_steps",
+    "seed",
     "output_model_path", "log_path", "pretrained_model_path",
     "reward_model_path", "config_path", "profile_dir",
     "save_state_steps", "resume_path", "profile",

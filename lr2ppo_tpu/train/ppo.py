@@ -432,15 +432,24 @@ class PPOTrainer:
                         self.logger.info(f"Training step: {step}")
                         for k, v in agg.items():
                             self.logger.info(f"{k}: {v:.6f}")
-                        result = evaluate_ndcg(
-                            self.actor, astate.params, eval_loader,
-                            put=self.ctx.put)
-                        self.logger.info("Val NDCG:" + format_ndcg(result))
-                        self.metrics.log(step, ndcg_full=result[100000000],
-                                         **agg)
-                        saver.maybe_save(
-                            result[100000000],
-                            {"actor": astate.params, "critic": cstate.params})
+                        # eval_steps decouples the full-val NDCG pass
+                        # from the sweep cadence (0 = reference: every
+                        # sweep, ppo.py:930)
+                        if (cfg.eval_steps <= 0
+                                or step % cfg.eval_steps == 0):
+                            result = evaluate_ndcg(
+                                self.actor, astate.params, eval_loader,
+                                put=self.ctx.put)
+                            self.logger.info(
+                                "Val NDCG:" + format_ndcg(result))
+                            self.metrics.log(
+                                step, ndcg_full=result[100000000], **agg)
+                            saver.maybe_save(
+                                result[100000000],
+                                {"actor": astate.params,
+                                 "critic": cstate.params})
+                        else:
+                            self.metrics.log(step, **agg)
                 if pending_save and not memories:
                     # batch boundary + drained memory buffer: the
                     # (step, time_ctr) pair resumes exactly here
@@ -453,6 +462,15 @@ class PPOTrainer:
             # (the epoch range is exhausted, so a resume from it is a
             # no-op; leftover un-swept rollouts are simply dropped)
             _save_state(astate, cstate, step, time_ctr, saver.best)
+        if cfg.eval_steps > 0 and step > 0:
+            # final eval so a decoupled cadence still scores/saves the
+            # end-of-run model even when no sweep aligned with it
+            result = evaluate_ndcg(self.actor, astate.params, eval_loader,
+                                   put=self.ctx.put)
+            self.logger.info("Final val NDCG:" + format_ndcg(result))
+            saver.maybe_save(result[100000000],
+                             {"actor": astate.params,
+                              "critic": cstate.params})
         self.logger.info(f"Best NDCG: {saver.best}")
         return astate, cstate, saver.best
 

