@@ -81,3 +81,35 @@ def test_three_stage_recipe_improves_ndcg(tmp_path):
     # and on this separable task it should clearly improve
     assert best_ppo > base_ndcg + 0.005, (
         f"PPO failed to improve: {base_ndcg:.4f} -> {best_ppo:.4f}")
+
+    # ---- variant legs from the same stage-1/2 checkpoints ----
+    import dataclasses
+
+    # int8 frozen reward (VERDICT r2 #6): quantization must be
+    # convergence-NEUTRAL — stage 3 still lifts NDCG over stage 1
+    cfg8 = _cfg(tmp_path, "s3_int8.ckpt", epochs_num=4,
+                pretrained_model_path=str(tmp_path / "s1.ckpt"),
+                reward_model_path=str(tmp_path / "s2.ckpt"))
+    cfg8.optim.learning_rate = 3e-4
+    cfg8.optim.critic_learning_rate = 3e-4
+    cfg8 = cfg8.replace(ppo=dataclasses.replace(
+        cfg8.ppo, update_timesteps=8, reward_int8=True))
+    _a, _c, best_int8 = PPOTrainer(cfg8).fit(make_train_loader, ev)
+    assert best_int8 > base_ndcg + 0.005, (
+        f"int8 reward broke convergence: {base_ndcg:.4f} -> {best_int8:.4f}")
+
+    # improved mode (VERDICT r2 #7): GAE + PL clipped surrogate must do
+    # at least as well as the faithful recipe on this task
+    cfgI = _cfg(tmp_path, "s3_improved.ckpt", epochs_num=4,
+                pretrained_model_path=str(tmp_path / "s1.ckpt"),
+                reward_model_path=str(tmp_path / "s2.ckpt"))
+    cfgI.optim.learning_rate = 3e-4
+    cfgI.optim.critic_learning_rate = 3e-4
+    cfgI = cfgI.replace(ppo=dataclasses.replace(
+        cfgI.ppo, update_timesteps=8, max_timesteps=2, use_gae=True,
+        surrogate_clip=True))
+    _a, _c, best_improved = PPOTrainer(cfgI).fit(make_train_loader, ev)
+    assert best_improved >= best_ppo - 0.01, (
+        f"improved mode regressed: faithful {best_ppo:.4f} vs "
+        f"improved {best_improved:.4f}")
+    assert best_improved > base_ndcg + 0.005
