@@ -369,12 +369,15 @@ class SentencePieceUnigram:
     UNK_PENALTY = -100.0        # sentencepiece's unk_penalty default order
 
     def __init__(self, pieces):
-        """pieces: iterable of (piece, score) in id order."""
+        """pieces: iterable of (piece, score) in id order. A duplicated
+        piece keeps its FIRST entry entirely (id AND score) — ids and
+        segmentation probabilities must come from the same entry."""
         self.vocab: dict = {}
         self.scores: dict = {}
         for i, (p, s) in enumerate(pieces):
-            if p not in self.vocab:
-                self.vocab[p] = i
+            if p in self.vocab:
+                continue
+            self.vocab[p] = i
             self.scores[p] = float(s)
         self.max_len = max((len(p) for p in self.vocab), default=1)
 

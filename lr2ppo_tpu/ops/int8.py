@@ -73,13 +73,23 @@ def quantize_tree(params, other_dtype=jnp.bfloat16):
                     and jnp.issubdtype(node.dtype, jnp.floating)):
                 return node.astype(other_dtype)
             return node
+        def quantizable(v):
+            return (hasattr(v, "ndim") and v.ndim == 2
+                    and jnp.issubdtype(v.dtype, jnp.floating))
+
         out = {}
         for k, v in node.items():
-            if (k == "kernel" and hasattr(v, "ndim") and v.ndim == 2
-                    and jnp.issubdtype(v.dtype, jnp.floating)):
+            if k == "kernel" and quantizable(v):
                 q, s = quantize_kernel(v)
                 out["kernel"] = q
                 out["kernel_scale"] = s
+            elif k == "kernel_scale" and quantizable(node.get("kernel")):
+                # int8-initialized trees already carry a (ones-init)
+                # kernel_scale next to the kernel: it must NOT clobber
+                # the scale computed from the real weights (order-
+                # independent: skip whenever the sibling kernel is being
+                # quantized in this dict)
+                continue
             else:
                 out[k] = walk(v)
         return out

@@ -5,5 +5,7 @@ from lr2ppo_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     shard_params,
     put_batch,
+    put_global,
     global_put,
+    fetch_global,
 )

@@ -132,9 +132,16 @@ def assert_tp_coverage(params, mesh: Mesh,
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         if (getattr(leaf, "size", 0) >= min_elements
                 and _spec_for(path) == P()):
+            # only 2-D matmul weights are rule candidates: conv kernels
+            # (4-D, e.g. vqgan) and other shapes are replicated by design
+            if getattr(leaf, "ndim", 0) != 2:
+                continue
             last = getattr(path[-1], "key",
                            getattr(path[-1], "name", str(path[-1])))
-            if last in _KNOWN_REPLICATED or last.startswith("conv_"):
+            # gatedcnn stacks (conv_*_w / gate_*_w, towers/encoders.py)
+            # are intentionally replicated
+            if (last in _KNOWN_REPLICATED
+                    or last.startswith(("conv_", "gate_"))):
                 continue
             names = ".".join(
                 getattr(p, "key", getattr(p, "name", str(p)))
@@ -177,19 +184,53 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(global_put, params, shardings)
 
 
-def put_batch(batch, mesh: Mesh):
-    """Host batch -> device arrays sharded batch-axis-over-dp.
+def put_global(x, mesh: Mesh, axis: int = 0, from_full_copy: bool = False):
+    """One array -> a global device array sharded over dp along `axis`.
 
-    Multi-host pods (`jax.process_count() > 1`): each process passes its
-    PROCESS-LOCAL rows (a `Loader(shard=(rank, world))` slice — the TPU
-    analogue of the reference's `read_count % world_size == rank` reader
-    sharding, tencentpretrain/utils/dataloader.py:32-39) and the global
-    batch is assembled with `jax.make_array_from_process_local_data`;
-    the mesh's dp axis lists devices in process order, so process p's
-    contiguous slice lands at global rows [p*local : (p+1)*local]."""
-    sh = batch_sharding(mesh)
+    Multi-host pods (`jax.process_count() > 1`): `x` holds this
+    process's LOCAL rows (a `Loader(shard=(rank, world))` slice — the
+    TPU analogue of the reference's `read_count % world_size == rank`
+    reader sharding, tencentpretrain/utils/dataloader.py:32-39) and the
+    global array is assembled with
+    `jax.make_array_from_process_local_data`; the mesh's dp axis lists
+    devices in process order, so process p's contiguous slice lands at
+    global rows [p*local : (p+1)*local]. `from_full_copy=True` instead
+    treats `x` as the FULL global value replicated on every host and
+    slices this process's rows out first (used by the driver dryrun,
+    where every rank synthesizes the same batch)."""
+    sh = NamedSharding(mesh, P(*([None] * axis), "dp"))
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-        batch)
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    if from_full_copy:
+        rank, world = jax.process_index(), jax.process_count()
+        if x.shape[axis] % world:
+            raise ValueError(
+                f"global batch axis {axis} ({x.shape[axis]}) must divide "
+                f"the process count ({world}) to shard a full copy")
+        per = x.shape[axis] // world
+        x = np.take(x, np.arange(rank * per, (rank + 1) * per), axis=axis)
+    return jax.make_array_from_process_local_data(sh, x)
+
+
+def fetch_global(x) -> np.ndarray:
+    """Host copy of a (possibly dp-sharded) global device array, correct
+    on multi-host pods: single-process is a plain np.asarray; on a pod
+    the value is first replicated by a jitted identity (an XLA
+    all-gather over the array's own mesh — every process must call this
+    in lockstep, which eval loops do since their loaders are
+    deterministic), then fetched locally."""
+    if jax.process_count() == 1 or not hasattr(x, "sharding"):
+        return np.asarray(x)
+    if getattr(x, "is_fully_replicated", False):
+        return np.asarray(x)
+    mesh = x.sharding.mesh
+    rep = jax.jit(lambda a: a,
+                  out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(rep)
+
+
+def put_batch(batch, mesh: Mesh):
+    """Host batch -> device arrays sharded batch-axis-over-dp (see
+    put_global for the multi-host contract)."""
+    return jax.tree.map(lambda x: put_global(x, mesh), batch)

@@ -60,6 +60,25 @@ class DeviceCtx:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         return put_batch(batch, self.mesh)
 
+    def put_eval(self, batch):
+        """Placement for EVAL batches. Eval loaders are deterministic
+        and NOT process-sharded (every rank assembles the identical full
+        batch, like the reference's rank-duplicated eval); on a pod each
+        rank must therefore contribute only its slice of that full copy
+        or the assembled global batch would hold every row world times
+        (and world-x the eval compute)."""
+        batch = {k: self._cast(v) for k, v in batch.items()}
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        import jax as _jax
+
+        if _jax.process_count() == 1:
+            return put_batch(batch, self.mesh)
+        from lr2ppo_tpu.parallel.mesh import put_global
+
+        return {k: put_global(v, self.mesh, from_full_copy=True)
+                for k, v in batch.items()}
+
     def place_params(self, tree):
         if self.mesh is None:
             return tree

@@ -22,6 +22,7 @@ import numpy as np
 
 from lr2ppo_tpu.ops.ndcg import NDCG_AT_K_DEFAULT, AverageNDCGMeter, ndcg_from_scores
 from lr2ppo_tpu.ops.losses import cls_expected_scores
+from lr2ppo_tpu.parallel.mesh import fetch_global
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -49,8 +50,8 @@ def evaluate_ndcg(model, params, eval_loader, put=None,
             apply, params, jnp.asarray(batch["text"]),
             None if img is None else jnp.asarray(img),
             jnp.asarray(batch["tgts"]), jnp.asarray(batch["mask"]))
-        rows = np.asarray(rows)
-        keep = np.asarray(batch["mask"]).any(axis=1)
+        rows = fetch_global(rows)   # pod-safe: allgathers dp shards
+        keep = fetch_global(batch["mask"]).any(axis=1)
         if keep.any():
             meter.extend(rows[keep])
     return meter.value()
@@ -79,7 +80,7 @@ def evaluate_cases(model, params, dataset, eval_loader, out_path: str,
             model.apply, params, jnp.asarray(dbatch["text"]),
             None if img is None else jnp.asarray(img),
             jnp.asarray(dbatch["tgts"]), jnp.asarray(dbatch["mask"]))
-        scores, rows = np.asarray(scores), np.asarray(rows)
+        scores, rows = fetch_global(scores), fetch_global(rows)
         mask = np.asarray(batch["mask"])
         for b in range(mask.shape[0]):
             if not mask[b].any() or idx[b] < 0:

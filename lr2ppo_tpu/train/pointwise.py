@@ -140,7 +140,7 @@ class PointwiseTrainer:
                         f"epoch {epoch} step {step} loss {loss_v:.6f}")
                     if eval_loader is not None:
                         result = evaluate_ndcg(self.model, state.params,
-                                               eval_loader, put=self.ctx.put)
+                                               eval_loader, put=self.ctx.put_eval)
                         self.logger.info("NDCG:" + format_ndcg(result))
                         self.metrics.log(step, loss=loss_v,
                                          ndcg_full=result[100000000])
@@ -149,7 +149,7 @@ class PointwiseTrainer:
                         self.metrics.log(step, loss=loss_v)
             if eval_loader is not None:
                 result = evaluate_ndcg(self.model, state.params, eval_loader,
-                                       put=self.ctx.put)
+                                       put=self.ctx.put_eval)
                 self.logger.info(f"epoch {epoch} NDCG:" + format_ndcg(result))
                 saver.maybe_save(result[100000000], state.params)
         trace.close()
@@ -249,7 +249,7 @@ class TwoDataTrainer(PointwiseTrainer):
             vals = []
             for ev in eval_loaders:
                 r = evaluate_ndcg(self.model, state.params, ev,
-                                  put=self.ctx.put)
+                                  put=self.ctx.put_eval)
                 vals.append(r[100000000])
             metric = float(np.mean(vals))
             self.logger.info(f"epoch {epoch} mean NDCG@full {metric:.4f}")

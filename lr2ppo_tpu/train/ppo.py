@@ -439,7 +439,7 @@ class PPOTrainer:
                                 or step % cfg.eval_steps == 0):
                             result = evaluate_ndcg(
                                 self.actor, astate.params, eval_loader,
-                                put=self.ctx.put)
+                                put=self.ctx.put_eval)
                             self.logger.info(
                                 "Val NDCG:" + format_ndcg(result))
                             self.metrics.log(
@@ -462,11 +462,12 @@ class PPOTrainer:
             # (the epoch range is exhausted, so a resume from it is a
             # no-op; leftover un-swept rollouts are simply dropped)
             _save_state(astate, cstate, step, time_ctr, saver.best)
-        if cfg.eval_steps > 0 and step > 0:
+        if cfg.eval_steps > 0 and step > 0 and step % cfg.eval_steps != 0:
             # final eval so a decoupled cadence still scores/saves the
-            # end-of-run model even when no sweep aligned with it
+            # end-of-run model — skipped when the last sweep already
+            # evaluated these exact params
             result = evaluate_ndcg(self.actor, astate.params, eval_loader,
-                                   put=self.ctx.put)
+                                   put=self.ctx.put_eval)
             self.logger.info("Final val NDCG:" + format_ndcg(result))
             saver.maybe_save(result[100000000],
                              {"actor": astate.params,

@@ -65,7 +65,9 @@ def evaluate_pairwise(model, params, eval_loader, put=None) -> float:
                                     for k, v in batch.items()}
         hits = _eval_step(model.apply, params, b["text"], b.get("img"),
                           b["tgts"], b["chosen_index"], b["reject_index"])
-        hits = np.asarray(hits)[valid]
+        from lr2ppo_tpu.parallel.mesh import fetch_global
+
+        hits = fetch_global(hits)[valid]
         correct += float(hits.sum())
         total += hits.size
     return correct / max(total, 1)
@@ -144,12 +146,12 @@ class RewardTrainer:
                         f"epoch {epoch} step {step} "
                         f"loss {float(loss):.6f} acc {float(acc):.4f}")
                     val_acc = evaluate_pairwise(self.model, state.params,
-                                                eval_loader, put=self.ctx.put)
+                                                eval_loader, put=self.ctx.put_eval)
                     self.logger.info(f"val accuracy: {val_acc:.4f}")
                     self.metrics.log(step, loss=float(loss), acc=val_acc)
                     saver.maybe_save(val_acc, state.params)
             val_acc = evaluate_pairwise(self.model, state.params, eval_loader,
-                                        put=self.ctx.put)
+                                        put=self.ctx.put_eval)
             self.logger.info(f"epoch {epoch} val accuracy: {val_acc:.4f}")
             saver.maybe_save(val_acc, state.params)
         self.logger.info(f"Best Acc: {saver.best}")

@@ -72,6 +72,30 @@ def test_quantize_tree_structure_and_model_parity():
     spread = float(np.abs(ref).max()) + 1e-6
     assert float(np.max(np.abs(got - ref))) < 0.05 * spread
 
+    # quantizing a tree that ALREADY carries (ones-init) kernel_scale
+    # leaves — an int8-initialized model's tree — must compute the real
+    # scales, not keep the ones (regression: the ones used to clobber
+    # the computed scale and outputs were off by orders of magnitude)
+    p8init = m8.init(jax.random.PRNGKey(0), text, img, idx)
+    p8init = jax.tree.map(lambda a, b: a if a.dtype == jnp.int8 else b,
+                          p8init, p8init)   # structural no-op, keeps tree
+    # graft the f32 weights into the int8-init structure, then quantize
+    def graft(dst, src):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = graft(v, src[k]) if k in src else v
+            elif k == "kernel_scale":
+                out[k] = v                    # ones init
+            else:
+                out[k] = src[k]
+        return out
+
+    grafted = graft(p8init, p)
+    gq = quantize_tree(grafted, jnp.float32)
+    got2 = np.asarray(m8.apply(gq, text, img, idx))
+    np.testing.assert_allclose(got2, got, atol=1e-6)
+
     # ranking preserved on well-separated scores
     if np.all(np.diff(np.sort(ref)) > 0.05 * spread):
         assert (np.argsort(ref) == np.argsort(got)).all()

@@ -110,12 +110,20 @@ cfg.output_model_path = ""
 
 shard = (jax.process_index(), world) if world > 1 else None
 loader = Loader(DS(), BS, shuffle=True, seed=5, num_workers=1, shard=shard)
+# eval loader deliberately UNSHARDED: every rank assembles the identical
+# full batch; DeviceCtx.put_eval slices each rank's rows out of that
+# full copy and evaluate_ndcg fetches the dp-sharded NDCG rows through
+# fetch_global's replicate-then-read — the pod eval path end-to-end
+from lr2ppo_tpu.data import EvalLoader
+
+ev = EvalLoader(DS(), buckets=[TAGS], batch_size=BS)
 trainer = PointwiseTrainer(cfg)
-state, _ = trainer.fit(loader, None)
+state, best = trainer.fit(loader, ev)
+assert np.isfinite(best) and 0.0 < best <= 1.0, best
 
 host = jax.tree.map(np.asarray, jax.device_get(state.params))
 with open(out, "wb") as f:
-    pickle.dump(host, f)
+    pickle.dump({"params": host, "best": float(best)}, f)
 print(f"proc {pid}/{world} trained OK")
 """
 
@@ -193,6 +201,11 @@ def test_two_process_pointwise_training(tmp_path):
         with open(path, "rb") as f:
             trees.append(pickle.load(f))
     r0, r1, oracle = trees
+    # the eval metric is global and replicated: identical on both ranks
+    # and equal to the single-process run's
+    assert r0["best"] == r1["best"]
+    np.testing.assert_allclose(r0["best"], oracle["best"], rtol=1e-4)
+    r0, r1, oracle = r0["params"], r1["params"], oracle["params"]
     flat0 = _flatten(r0)
     flat1 = _flatten(r1)
     flatb = _flatten(oracle)
