@@ -39,7 +39,8 @@ BASELINE_SAMPLES_PER_SEC = 192.5
 def fast_config():
     """The benched configuration IS the blessed `--profile fast` preset
     (config.PROFILES['fast']: bf16 compute + bf16 Adam moments + hash
-    dropout) applied to the flagship multimodal geometry — any
+    dropout + size-gated int8 frozen reward) applied to the flagship
+    multimodal geometry — any
     `cli/ppo.py --profile fast` run builds this exact model/optimizer
     configuration (VERDICT r2 #4; parity test in tests/test_config.py).
     Env knobs below exist only for A/B studies."""
@@ -79,11 +80,15 @@ def build(bs: int):
     cfg = fast_config()
     mcfg = cfg.model
     dtype = jnp.dtype(cfg.mesh.compute_dtype)
-    # LR2PPO_BENCH_INT8=1: int8-quantized frozen reward (ops/int8.py).
-    # Measured bs=256: 32.6 -> 31.8 ms reward fwd (1.02x — XLA's s8xs8
-    # dot does not beat bf16 on this chip); kept as an A/B knob, the
-    # production value is the halved reward HBM (~0.5 GB).
-    reward_int8 = os.environ.get("LR2PPO_BENCH_INT8", "0") == "1"
+    # Size-gated int8 frozen reward (ops/int8.py): part of the fast
+    # profile (cfg.ppo.reward_int8). Measured bs=256: 1018.1 samples/s
+    # vs 1000.7 bf16 control (+1.7%) and half the reward HBM — the
+    # gates quantize only >=2M-element kernels and take the s8 dot only
+    # at wide compute-bound sites (ungated int8 measured 1.02x; the
+    # Pallas narrow-site kernel measured 974.4 — ledgers in ops/int8.py).
+    # LR2PPO_BENCH_INT8=0 is the A/B knob.
+    reward_int8 = os.environ.get(
+        "LR2PPO_BENCH_INT8", "1" if cfg.ppo.reward_int8 else "0") == "1"
     actor = ScoreModel(mcfg, dtype)
     critic = SeqScoreModel(mcfg, dtype)
     if reward_int8:

@@ -180,8 +180,11 @@ class MeshConfig:
 
 # Named configuration profiles (one flag from any CLI / one JSON key).
 # "fast" is the blessed production profile — the exact configuration
-# bench.py measures (~1000 samples/s stage-3 on one v5e chip):
-#   bf16 compute + bf16 Adam moments + zero-residual hash dropout.
+# bench.py measures (~1018 samples/s stage-3 on one v5e chip):
+#   bf16 compute + bf16 Adam moments + zero-residual hash dropout +
+#   size-gated int8 frozen reward (ops/int8.py; measured +1.7% step
+#   rate and half the reward-model HBM; only the stage-3 trainer
+#   consumes ppo.reward_int8 — the key is inert elsewhere).
 # Buffer donation is unconditional in the trainers. Explicit CLI flags
 # still override profile values (defaults < JSON < profile < CLI).
 # "faithful" is the parity-exact default (fp32, threefry dropout).
@@ -190,6 +193,7 @@ PROFILES = {
         "mesh": {"compute_dtype": "bfloat16"},
         "optim": {"moment_dtype": "bfloat16"},
         "model": {"hash_dropout": True},
+        "ppo": {"reward_int8": True},
     },
     "faithful": {},
 }

@@ -74,9 +74,15 @@ class TorchDense(nn.Module):
             kinit = torch_linear_kernel_init()
             binit = torch_linear_bias_init(fan_in)
         kernel = self.param("kernel", kinit, (fan_in, self.features), jnp.float32)
+        use_int8 = False
         if self.int8:
-            from lr2ppo_tpu.ops.int8 import int8_matmul
+            from lr2ppo_tpu.ops.int8 import int8_matmul, should_quantize
 
+            # small kernels (qkv 768x768, heads) never pay off in int8
+            # and stay plain bf16 — no kernel_scale param, matching
+            # quantize_tree's gate (measured ledger in ops/int8.py)
+            use_int8 = should_quantize((fan_in, self.features))
+        if use_int8:
             kernel_scale = self.param(
                 "kernel_scale", jax.nn.initializers.ones, (self.features,),
                 jnp.float32)

@@ -24,10 +24,52 @@ param so `apply` consumes the tree natively.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Size gates (measured on the v5e chip, flagship reward shapes — ledger
+# in PARITY.md). Raw s8 dots win 1.2-1.7x over bf16 only when the
+# matmul is MXU-compute-bound; below these the dynamic-quant overhead
+# (amax + round over the activations, int32->f32 epilogue) LOSES time
+# (e.g. out_fc2 M=512 K=3072 N=768: 1.51 ms bf16 vs 2.37 ms int8).
+#   * kernels smaller than INT8_MIN_KERNEL_ELEMENTS stay bf16 entirely
+#     (qkv 768x768, heads): their HBM footprint is negligible and the
+#     dot never reaches the compute-bound regime;
+#   * quantized kernels still SHIP int8 (halved HBM) everywhere, but a
+#     call site takes the s8 dot only when it is wide enough on BOTH
+#     axes to amortize the activation-quant pass: measured at flagship
+#     M=100352, the 768->3072 fc1 wins 1.31x while the 3072->768 fc2
+#     LOSES 0.82x (XLA fuses the quant+rescale into the fc1 program but
+#     not fc2's; the raw s8 dot alone wins 1.5x at both). Narrow or
+#     small call sites dequantize to bf16 and take the plain MXU dot —
+#     a ~10 us pass against the ~1 ms the s8 path would lose.
+# Tests monkeypatch these to 0 to force full quantization on tiny
+# models.
+INT8_MIN_KERNEL_ELEMENTS = 2 * 1024 * 1024
+INT8_DYNQUANT_MIN_FLOPS = 50e9
+INT8_DYNQUANT_MIN_WIDTH = 1024
+
+# Route narrow compute-bound sites through the fused Pallas kernel
+# (ops/pallas_int8_matmul.py). Default OFF by measurement: the kernel
+# wins in isolation at flagship fc2 (2.35 ms vs 3.41 bf16, 1.45x) but
+# LOSES in the full rollout program (974.4 vs 1000.7 samples/s control;
+# dequant+bf16 routing measures 1019.7) — the pallas_call boundary
+# forces the gelu(fc1) intermediate (~600 MB at M=100352 K=3072 bf16)
+# to materialize through HBM, where XLA instead fuses the elementwise
+# producer into the bf16 matmul's operand read. Same in-isolation-wins/
+# in-context-loses shape as ops/pallas_attention.py. The kernel stays
+# correct + tested for memory-rich or pre-materialized call sites.
+PALLAS_NARROW_SITES = False
+
+
+def should_quantize(shape) -> bool:
+    """True when a 2-D kernel of this shape is worth storing as int8."""
+    return (len(shape) == 2
+            and shape[0] * shape[1] >= INT8_MIN_KERNEL_ELEMENTS)
 
 
 def quantize_kernel(w: Array):
@@ -50,6 +92,35 @@ def int8_matmul(x: Array, kernel: Array, kernel_scale: Array,
     out_dtype = out_dtype or x.dtype
     if kernel.dtype != jnp.int8:
         kernel, kernel_scale = quantize_kernel(kernel)
+    rows = math.prod(x.shape[:-1])
+    compute_bound = (2 * rows * kernel.shape[0] * kernel.shape[1]
+                     >= INT8_DYNQUANT_MIN_FLOPS)
+    narrow = kernel.shape[1] < INT8_DYNQUANT_MIN_WIDTH
+    if compute_bound and narrow and PALLAS_NARROW_SITES:
+        # narrow-output compute-bound site (fc2-style): XLA fails to
+        # fuse the activation-quant pass here (4.33 ms vs 3.41 ms bf16
+        # at flagship fc2) and the fused Pallas kernel keeps the raw
+        # s8 MXU win in isolation (2.35 ms, 1.45x over bf16) — but see
+        # PALLAS_NARROW_SITES above for why this routing defaults off
+        # in the full program; bit-identical numerics either way
+        # (tests/test_int8.py)
+        from lr2ppo_tpu.ops.pallas_int8_matmul import (
+            pallas_int8_matmul, supported)
+
+        if supported(x.shape, kernel.shape):
+            return pallas_int8_matmul(
+                x, kernel, kernel_scale, out_dtype,
+                interpret=jax.devices()[0].platform != "tpu")
+    if not compute_bound or narrow:
+        # not compute-bound at this call site (or too narrow for XLA to
+        # fuse the quant pass profitably, and no Pallas-supported
+        # shape): dequantize (a ~10 us pass over the kernel) and take
+        # the plain bf16 MXU dot — the int8 storage still halves the
+        # frozen model's HBM
+        w = (kernel.astype(jnp.float32)
+             * kernel_scale.astype(jnp.float32)).astype(out_dtype)
+        return jnp.dot(x.astype(out_dtype), w,
+                       preferred_element_type=out_dtype)
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xscale = jnp.maximum(amax, 1e-8) / 127.0
@@ -75,7 +146,8 @@ def quantize_tree(params, other_dtype=jnp.bfloat16):
             return node
         def quantizable(v):
             return (hasattr(v, "ndim") and v.ndim == 2
-                    and jnp.issubdtype(v.dtype, jnp.floating))
+                    and jnp.issubdtype(v.dtype, jnp.floating)
+                    and should_quantize(v.shape))
 
         out = {}
         for k, v in node.items():

@@ -111,7 +111,7 @@ def test_bench_config_is_profile_fast(monkeypatch):
     from lr2ppo_tpu.train.ppo import PPOTrainer
 
     for env in ("LR2PPO_BENCH_REMAT", "LR2PPO_BENCH_PALLAS",
-                "LR2PPO_BENCH_HASH"):
+                "LR2PPO_BENCH_HASH", "LR2PPO_BENCH_INT8"):
         monkeypatch.delenv(env, raising=False)
     spec = importlib.util.spec_from_file_location(
         "bench", os.path.join(os.path.dirname(os.path.dirname(
@@ -125,6 +125,10 @@ def test_bench_config_is_profile_fast(monkeypatch):
     assert bcfg.model == ccfg.model
     assert bcfg.optim == ccfg.optim
     assert bcfg.mesh == ccfg.mesh
+    # the fast profile's int8 frozen reward is part of the benched
+    # configuration too
+    assert bcfg.ppo == ccfg.ppo
+    assert ccfg.ppo.reward_int8
     # and the trainer instantiates the models at the profile dtype
     trainer = PPOTrainer(ccfg.replace(model=dataclasses.replace(
         ModelConfig(), hash_dropout=True)), use_mesh=False)

@@ -31,7 +31,14 @@ def _cfg(tmp_path, name, **kw):
 
 
 @pytest.mark.slow
-def test_three_stage_recipe_improves_ndcg(tmp_path):
+def test_three_stage_recipe_improves_ndcg(tmp_path, monkeypatch):
+    # zero the int8 size gates so the int8 leg actually quantizes this
+    # tiny model (production gates leave small kernels in bf16)
+    from lr2ppo_tpu.ops import int8 as int8_mod
+
+    monkeypatch.setattr(int8_mod, "INT8_MIN_KERNEL_ELEMENTS", 0)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_FLOPS", 0)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_WIDTH", 0)
     # relevance linearly decodable from the features, with noise
     rng = np.random.RandomState(0)
     groups = make_letor_groups(n_queries=24, docs=8, n_feat=16, seed=0)

@@ -18,7 +18,20 @@ import jax.numpy as jnp
 
 from lr2ppo_tpu.config import Config, ModelConfig
 from lr2ppo_tpu.models import SeqScoreModel
+from lr2ppo_tpu.ops import int8 as int8_mod
 from lr2ppo_tpu.ops.int8 import int8_matmul, quantize_kernel, quantize_tree
+
+
+@pytest.fixture(autouse=True)
+def _force_quantization(monkeypatch):
+    """The production size gates (ops/int8.py: only kernels >= 2M
+    elements quantize, only wide compute-bound call sites take the s8
+    dot) would leave these tiny test models entirely un-quantized; zero
+    them so the tests exercise the full int8 path. The gates themselves
+    are pinned by test_production_size_gates."""
+    monkeypatch.setattr(int8_mod, "INT8_MIN_KERNEL_ELEMENTS", 0)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_FLOPS", 0)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_WIDTH", 0)
 
 
 def test_int8_matmul_tracks_f32():
@@ -99,6 +112,98 @@ def test_quantize_tree_structure_and_model_parity():
     # ranking preserved on well-separated scores
     if np.all(np.diff(np.sort(ref)) > 0.05 * spread):
         assert (np.argsort(ref) == np.argsort(got)).all()
+
+
+def test_pallas_int8_matmul_matches_xla_path():
+    """The fused Pallas kernel (ops/pallas_int8_matmul.py) must be
+    bit-identical to the unfused XLA s8 path: same per-row scale
+    formula, same round/clip. Rows deliberately NOT a multiple of the
+    512-row block to exercise the padded edge block."""
+    from lr2ppo_tpu.ops.pallas_int8_matmul import (pallas_int8_matmul,
+                                                   supported)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1040, 256), jnp.float32)
+    w = jnp.asarray(rng.randn(256, 128) * 0.05, jnp.float32)
+    q, s = quantize_kernel(w)
+    assert supported(x.shape, w.shape)
+    ref = int8_matmul(x, q, s, jnp.float32)          # gates zeroed: s8 path
+    got = pallas_int8_matmul(x, q, s, jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # unsupported shapes are refused (K not a lane multiple; tiny rows)
+    assert not supported((1040, 100), (100, 128))
+    assert not supported((64, 256), (256, 128))
+
+
+def test_narrow_compute_bound_site_routes_to_pallas(monkeypatch):
+    """With PALLAS_NARROW_SITES on, int8_matmul must hand narrow
+    compute-bound call sites to the fused Pallas kernel and the result
+    must equal the plain s8 computation. (The routing defaults off —
+    ledger at ops/int8.py:PALLAS_NARROW_SITES.)"""
+    from lr2ppo_tpu.ops import pallas_int8_matmul as pmod
+
+    monkeypatch.setattr(int8_mod, "PALLAS_NARROW_SITES", True)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_FLOPS", 0)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_WIDTH", 10 ** 9)
+
+    calls = {"n": 0}
+    real = pmod.pallas_int8_matmul
+
+    def spy(x, k, s, out_dtype=jnp.bfloat16, interpret=False):
+        calls["n"] += 1
+        return real(x, k, s, out_dtype, interpret=True)
+
+    monkeypatch.setattr(pmod, "pallas_int8_matmul", spy)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(520, 256), jnp.float32)
+    w = jnp.asarray(rng.randn(256, 128) * 0.05, jnp.float32)
+    q, s = quantize_kernel(w)
+    got = int8_matmul(x, q, s, jnp.float32)
+    assert calls["n"] == 1
+
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_WIDTH", 0)
+    ref = int8_matmul(x, q, s, jnp.float32)          # plain s8 path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_production_size_gates(monkeypatch):
+    """At PRODUCTION thresholds: small kernels stay float with no
+    kernel_scale sibling (module and quantize_tree agree on the tree
+    structure), and a narrow/small call site on a quantized kernel takes
+    the dequantize+bf16 path — bit-close to the float matmul, with no
+    activation-quant error."""
+    monkeypatch.setattr(int8_mod, "INT8_MIN_KERNEL_ELEMENTS",
+                        2 * 1024 * 1024)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_FLOPS", 50e9)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_WIDTH", 1024)
+
+    from lr2ppo_tpu.models.layers import TorchDense
+
+    # (768, 768) = 589k elements: below the kernel gate
+    m = TorchDense(768, int8=True)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 768)))
+    assert "kernel_scale" not in p["params"]
+    assert p["params"]["kernel"].dtype == jnp.float32
+    q = quantize_tree(p, jnp.float32)
+    assert q["params"]["kernel"].dtype == jnp.float32   # left alone
+
+    # (768, 3072) = 2.36M: above the kernel gate -> int8 + scale, and
+    # the module consumes the quantized tree
+    m2 = TorchDense(3072, int8=True)
+    p2 = m2.init(jax.random.PRNGKey(0), jnp.zeros((2, 768)))
+    assert "kernel_scale" in p2["params"]
+    q2 = quantize_tree(p2, jnp.float32)
+    assert q2["params"]["kernel"].dtype == jnp.int8
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 768), jnp.float32)
+    ref = np.asarray(x @ p2["params"]["kernel"])
+    # 4 rows -> far below the FLOPs gate: dequant path, only weight-
+    # quantization error (~0.8% of the per-channel amax), NOT the
+    # coarser activation-quant error
+    got = np.asarray(m2.apply(q2, x) - p2["params"]["bias"])
+    amax = np.abs(np.asarray(p2["params"]["kernel"])).max(0) * x.shape[-1]
+    assert float(np.max(np.abs(got - ref))) < 0.01 * float(amax.max())
 
 
 def test_ppo_trainer_builds_int8_reward():
