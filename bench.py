@@ -89,14 +89,26 @@ def build(bs: int):
     # LR2PPO_BENCH_INT8=0 is the A/B knob.
     reward_int8 = os.environ.get(
         "LR2PPO_BENCH_INT8", "1" if cfg.ppo.reward_int8 else "0") == "1"
+    # LR2PPO_BENCH_ROLLOUT_INT8=1: A/B study — run the ROLLOUT's
+    # actor/critic forwards through the same gated int8 path (they are
+    # no-grad and their params are constant between update sweeps, so
+    # the trainer can quantize once per sweep; here the re-quantization
+    # is charged to EVERY timed iteration, the worst-case accounting).
+    rollout_int8 = os.environ.get("LR2PPO_BENCH_ROLLOUT_INT8", "0") == "1"
+    # LR2PPO_BENCH_FUSED_FFN=0: A/B knob for the fully-fused int8 FFN
+    # Pallas kernel (ops/pallas_int8_mlp.py). The bench is single-chip,
+    # where the AUTO default resolves to on; pin it explicitly so the
+    # A/B states are unambiguous.
+    from lr2ppo_tpu.ops import int8 as int8_mod
+
+    int8_mod.PALLAS_FUSED_FFN = os.environ.get(
+        "LR2PPO_BENCH_FUSED_FFN", "1") == "1"
     actor = ScoreModel(mcfg, dtype)
     critic = SeqScoreModel(mcfg, dtype)
-    if reward_int8:
-        import dataclasses
+    import dataclasses
 
-        reward = SeqScoreModel(dataclasses.replace(mcfg, int8=True), dtype)
-    else:
-        reward = SeqScoreModel(mcfg, dtype)
+    int8_mcfg = dataclasses.replace(mcfg, int8=True)
+    reward = SeqScoreModel(int8_mcfg if reward_int8 else mcfg, dtype)
 
     tags = 2
     key = jax.random.PRNGKey(0)
@@ -123,9 +135,20 @@ def build(bs: int):
     astate = init_state(actor_p, tx)
     cstate = init_state(critic_p, tx)
 
-    rollout = make_rollout_step(actor, critic, reward, mcfg.mode)
+    if rollout_int8:
+        r_actor = ScoreModel(int8_mcfg, dtype)
+        r_critic = SeqScoreModel(int8_mcfg, dtype)
+        rollout = make_rollout_step(r_actor, r_critic, reward, mcfg.mode)
+    else:
+        rollout = make_rollout_step(actor, critic, reward, mcfg.mode)
     update = make_update_step(actor, critic, tx, tx, cfg)
-    return rollout, update, astate, cstate, reward_p, text, img, state0
+    quantize = None
+    if rollout_int8:
+        from lr2ppo_tpu.ops.int8 import quantize_tree
+
+        quantize = jax.jit(lambda p: quantize_tree(p, dtype))
+    return (rollout, update, astate, cstate, reward_p, text, img, state0,
+            quantize)
 
 
 def _sync(astate, cstate):
@@ -140,12 +163,23 @@ def _sync(astate, cstate):
 
 def run(bs: int, warmup: int = 2, iters: int = 8) -> float:
     (rollout, update, astate, cstate, reward_p,
-     text, img, state0) = build(bs)
+     text, img, state0, quantize) = build(bs)
     rng = jax.random.PRNGKey(1)
 
+    # rollout-int8 A/B: the trainer re-quantizes actor/critic once per
+    # update SWEEP (~200 rollouts+updates amortize one ~6 ms quantize
+    # pass), so the quantized trees are loop-invariant here. Quantizing
+    # inside the async-dispatched loop would also pin one int8 tree
+    # generation per in-flight iteration (~1.1 GB each) and OOM.
+    qa = qc = None
+    if quantize is not None:
+        qa, qc = quantize(astate.params), quantize(cstate.params)
+
     def step(astate, cstate, rng):
+        ap = qa if qa is not None else astate.params
+        cp = qc if qc is not None else cstate.params
         scores, value, next_state, rew = rollout(
-            astate.params, cstate.params, reward_p, text, img, state0)
+            ap, cp, reward_p, text, img, state0)
         rng, sub = jax.random.split(rng)
         astate, cstate, _ = update(
             astate, cstate, sub, text, img, state0, next_state,
@@ -244,7 +278,7 @@ def run_e2e(bs: int = 256, batches: int = 30) -> dict:
 
     # --- functional composed pass: loader batch -> DeviceCtx-equivalent
     # put -> rollout -> update, through the real trainer step programs
-    (rollout, update, astate, cstate, reward_p, _t, _i, _s) = build(bs)
+    (rollout, update, astate, cstate, reward_p, _t, _i, _s, _q) = build(bs)
     rng = jax.random.PRNGKey(2)
     dtype = jnp.dtype(fast_config().mesh.compute_dtype)
     b = {k: jnp.asarray(np.asarray(v)).astype(dtype)

@@ -150,6 +150,14 @@ class PPOConfig:
     # dynamic activation quantization: 2x MXU rate on its rollout
     # forward, half the HBM for its params (ops/int8.py)
     reward_int8: bool = False
+    # ALSO run the rollout's actor/critic forwards int8: they are
+    # no-grad (only the update step differentiates), so the trainer
+    # re-quantizes the live params once per sweep and rolls out from
+    # the int8 trees. Measured +8.6% samples/s at bs=128 — but the two
+    # extra int8 trees (~1.1 GB at flagship scale) push bs=256 out of a
+    # 16 GB chip, where the big batch wins more; default off (ledger in
+    # PARITY.md). For chips with more HBM per model-byte.
+    rollout_int8: bool = False
     # ---- improved-PPO options (VERDICT r2 #7; the BASELINE north star
     # names "PPO with GAE and clipped surrogate loss" but the reference
     # parses eps_clip without using it, ppo.py:730, and has no GAE).
@@ -334,6 +342,7 @@ _FLAG_ROUTES = {
     "advantage_eps": ("ppo", "advantage_eps"),
     "device_memory_gb": ("ppo", "device_memory_gb"),
     "reward_int8": ("ppo", "reward_int8"),
+    "rollout_int8": ("ppo", "rollout_int8"),
     "use_gae": ("ppo", "use_gae"),
     "gae_gamma": ("ppo", "gae_gamma"),
     "gae_lambda": ("ppo", "gae_lambda"),

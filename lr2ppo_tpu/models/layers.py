@@ -65,7 +65,7 @@ class TorchDense(nn.Module):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, params_only: bool = False):
         fan_in = x.shape[-1]
         if self.init_style == "normal_0.02":
             kinit = normal_002_init()
@@ -86,6 +86,14 @@ class TorchDense(nn.Module):
             kernel_scale = self.param(
                 "kernel_scale", jax.nn.initializers.ones, (self.features,),
                 jnp.float32)
+        if params_only:
+            # declare and hand back the leaves for an externally-fused
+            # consumer (XiT routes its whole int8 FFN through one Pallas
+            # kernel, ops/pallas_int8_mlp.py); `x` only supplies fan_in
+            bias = (self.param("bias", binit, (self.features,), jnp.float32)
+                    if self.use_bias else None)
+            return kernel, (kernel_scale if use_int8 else None), bias
+        if use_int8:
             y = int8_matmul(x.astype(self.dtype), kernel, kernel_scale,
                             self.dtype or x.dtype)
         else:
@@ -95,6 +103,53 @@ class TorchDense(nn.Module):
             bias = self.param("bias", binit, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
+
+
+def _fused_int8_ffn_ok(int8: bool, deterministic: bool, x_shape,
+                       hdn: int, out_features: int) -> bool:
+    """Route an fc1->gelu->fc2 pair through the fully-fused int8 Pallas
+    kernel (ops/pallas_int8_mlp.py)? Only for frozen int8 models on the
+    deterministic path (the inter-fc dropout is inactive there, so
+    fusing across it is exact), at shapes the kernel supports AND where
+    the site is MXU-compute-bound (same gate as the unfused s8 routing
+    — below it the bf16 dequant path measures faster, ops/int8.py)."""
+    if not (int8 and deterministic):
+        return False
+    from lr2ppo_tpu.ops import int8 as int8_ops
+    from lr2ppo_tpu.ops.pallas_int8_mlp import supported
+
+    d = x_shape[-1]
+    rows = math.prod(x_shape[:-1])
+    return (int8_ops.fused_ffn_enabled()
+            and int8_ops.should_quantize((d, hdn))
+            and int8_ops.should_quantize((hdn, out_features))
+            and 2 * rows * d * hdn >= int8_ops.INT8_DYNQUANT_MIN_FLOPS
+            and supported(x_shape, (d, hdn), (hdn, out_features)))
+
+
+def _fused_int8_ffn(fc1: "TorchDense", fc2: "TorchDense", x: Array,
+                    hdn: int, out_features: int, dtype) -> Array:
+    """gelu-MLP through one Pallas kernel; quant -> s8 fc1 -> gelu ->
+    quant -> s8 fc2 with the intermediate VMEM-resident throughout."""
+    from lr2ppo_tpu.ops.int8 import quantize_kernel
+    from lr2ppo_tpu.ops.pallas_int8_mlp import pallas_int8_mlp
+
+    k1, s1, b1 = fc1(x, params_only=True)
+    # params_only reads only fan_in from its input; fc2's is hdn
+    k2, s2, b2 = fc2(jnp.zeros((1, hdn), x.dtype), params_only=True)
+    if k1.dtype != jnp.int8:        # unconverted (init/test) tree
+        k1, s1 = quantize_kernel(k1)
+    if k2.dtype != jnp.int8:
+        k2, s2 = quantize_kernel(k2)
+    if b1 is None:
+        b1 = jnp.zeros((hdn,), jnp.float32)
+    if b2 is None:
+        b2 = jnp.zeros((out_features,), jnp.float32)
+    out_dtype = dtype or x.dtype
+    return pallas_int8_mlp(
+        x.astype(out_dtype), k1, s1, b1.astype(jnp.float32),
+        k2, s2, b2.astype(jnp.float32), out_dtype=out_dtype,
+        interpret=jax.devices()[0].platform != "tpu")
 
 
 class Mlp(nn.Module):
@@ -109,12 +164,18 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        x = TorchDense(self.hidden_features, self.init_style, dtype=self.dtype,
-                       int8=self.int8, name="fc1")(x)
+        fc1 = TorchDense(self.hidden_features, self.init_style,
+                         dtype=self.dtype, int8=self.int8, name="fc1")
+        fc2 = TorchDense(self.out_features, self.init_style,
+                         dtype=self.dtype, int8=self.int8, name="fc2")
+        if _fused_int8_ffn_ok(self.int8, deterministic, x.shape,
+                              self.hidden_features, self.out_features):
+            return _fused_int8_ffn(fc1, fc2, x, self.hidden_features,
+                                   self.out_features, self.dtype)
+        x = fc1(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = TorchDense(self.out_features, self.init_style, dtype=self.dtype,
-                       int8=self.int8, name="fc2")(x)
+        x = fc2(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -245,12 +306,23 @@ class XiT(nn.Module):
 
         hn = nn.LayerNorm(epsilon=1e-5, name="ln_ffn")(x)
         hdn = self.forward_expansion * self.feat_size
-        hcur = TorchDense(hdn, self.init_style, dtype=self.dtype,
-                          int8=self.int8, name="ffn_fc1")(hn)
-        hcur = nn.gelu(hcur, approximate=False)
-        hcur = self._drop(hcur, self.forward_drop_p, deterministic)
-        hcur = TorchDense(self.feat_size, self.init_style, dtype=self.dtype,
-                          int8=self.int8, name="ffn_fc2")(hcur)
+        fc1 = TorchDense(hdn, self.init_style, dtype=self.dtype,
+                         int8=self.int8, name="ffn_fc1")
+        fc2 = TorchDense(self.feat_size, self.init_style, dtype=self.dtype,
+                         int8=self.int8, name="ffn_fc2")
+        if _fused_int8_ffn_ok(self.int8, deterministic, hn.shape, hdn,
+                              self.feat_size):
+            # int8 frozen-model FFN, deterministic path (dropout between
+            # fc1/fc2 inactive): one fully-fused Pallas kernel — quant ->
+            # s8 fc1 -> gelu -> quant -> s8 fc2 without the gelu
+            # intermediate ever leaving VMEM (ops/pallas_int8_mlp.py)
+            hcur = _fused_int8_ffn(fc1, fc2, hn, hdn, self.feat_size,
+                                   self.dtype)
+        else:
+            hcur = fc1(hn)
+            hcur = nn.gelu(hcur, approximate=False)
+            hcur = self._drop(hcur, self.forward_drop_p, deterministic)
+            hcur = fc2(hcur)
         hcur = self._drop(hcur, self.drop_p, deterministic)
         x = x + hcur
 

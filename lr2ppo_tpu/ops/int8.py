@@ -65,6 +65,25 @@ INT8_DYNQUANT_MIN_WIDTH = 1024
 # correct + tested for memory-rich or pre-materialized call sites.
 PALLAS_NARROW_SITES = False
 
+# Route the whole deterministic int8 FFN (fc1+gelu+fc2) through the
+# fully-fused Pallas kernel (ops/pallas_int8_mlp.py) — the follow-up the
+# ledger above calls for: fusing BOTH dots and the gelu epilogue into
+# one pallas_call keeps the (M, 4D) intermediate in VMEM, so the HBM
+# round-trip that sank the lone narrow-site kernel never happens, and
+# both dots run at the s8 MXU rate. Consumed by models.layers.Mlp/XiT.
+# None = AUTO: on for single-device processes only — a pallas_call
+# inside a multi-device SPMD jit has no partitioning rule, so XLA would
+# replicate its operands (all-gathering the dp-sharded activations and
+# the tp-sharded kernels); the unfused XLA path partitions cleanly and
+# stays the pod routing. True/False force it (tests, A/B studies).
+PALLAS_FUSED_FFN = None
+
+
+def fused_ffn_enabled() -> bool:
+    if PALLAS_FUSED_FFN is not None:
+        return PALLAS_FUSED_FFN
+    return jax.device_count() == 1
+
 
 def should_quantize(shape) -> bool:
     """True when a 2-D kernel of this shape is worth storing as int8."""

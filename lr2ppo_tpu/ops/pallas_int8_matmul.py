@@ -56,7 +56,9 @@ _BM = 512                       # rows per grid step (mult of 32 for s8 tiles)
 def _kernel(x_ref, w_ref, ws_ref, out_ref, *, out_dtype):
     xf = x_ref[:].astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xscale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    # divide, not multiply-by-reciprocal: the last-bit difference flips
+    # round-ties a full quant step away from ops/int8.py's result
+    xscale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, w_ref[:], (((1,), (0,)), ((), ())),

@@ -169,12 +169,18 @@ class PPOTrainer:
         # it runs int8 weight-static matmuls (2x MXU rate, half the
         # param HBM; ops/int8.py) — the trainable actor/critic stay at
         # the compute dtype
-        rmcfg = cfg.model
-        if cfg.ppo.reward_int8:
-            import dataclasses
+        import dataclasses
 
-            rmcfg = dataclasses.replace(cfg.model, int8=True)
-        self.reward = SeqScoreModel(rmcfg, dtype)
+        int8_mcfg = dataclasses.replace(cfg.model, int8=True)
+        self.reward = SeqScoreModel(
+            int8_mcfg if cfg.ppo.reward_int8 else cfg.model, dtype)
+        # ppo.rollout_int8: rollout-side actor/critic twins that consume
+        # int8 trees re-quantized from the live params once per sweep
+        # (the rollout is no-grad; config.py:PPOConfig.rollout_int8)
+        self.r_actor = (ScoreModel(int8_mcfg, dtype)
+                        if cfg.ppo.rollout_int8 else self.actor)
+        self.r_critic = (SeqScoreModel(int8_mcfg, dtype)
+                         if cfg.ppo.rollout_int8 else self.critic)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype)
         from lr2ppo_tpu.ops import gae_advantages
@@ -287,10 +293,28 @@ class PPOTrainer:
             astate = init_state(actor_p, atx)
             cstate = init_state(critic_p, ctx_tx)
 
-        rollout_step = make_rollout_step(self.actor, self.critic, self.reward,
-                                         cfg.model.mode)
+        rollout_step = make_rollout_step(self.r_actor, self.r_critic,
+                                         self.reward, cfg.model.mode)
         update_step = make_update_step(self.actor, self.critic, atx, ctx_tx,
                                        cfg)
+        # rollout_int8: int8 views of the live params, rebuilt lazily
+        # after every sweep (the only place params change). qa/qc are
+        # dropped BEFORE requantizing so the old trees' HBM frees first.
+        quant = None
+        if cfg.ppo.rollout_int8:
+            from lr2ppo_tpu.ops.int8 import quantize_tree
+
+            dtype = jnp.dtype(self.ctx.cast_dtype or jnp.float32)
+            quant = jax.jit(partial(quantize_tree, other_dtype=dtype))
+        qa = qc = None
+
+        def rollout_params():
+            nonlocal qa, qc
+            if quant is None:
+                return astate.params, cstate.params
+            if qa is None:
+                qa, qc = quant(astate.params), quant(cstate.params)
+            return qa, qc
         saver = BestSaver(cfg.output_model_path, self.logger)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 2)
@@ -381,8 +405,9 @@ class PPOTrainer:
                 state = jnp.asarray(np.broadcast_to(
                     np.arange(tags, dtype=np.int32), (bsz, tags)).copy())
                 for _t in range(cfg.ppo.max_timesteps):
+                    ra_p, rc_p = rollout_params()
                     scores, value, next_state, rew = rollout_step(
-                        astate.params, cstate.params, reward_p,
+                        ra_p, rc_p, reward_p,
                         b["text"], b.get("img"), state)
                     if device_memories:
                         memories.append({
@@ -415,6 +440,7 @@ class PPOTrainer:
                         astate, cstate, agg = self._sweep(
                             update_step, astate, cstate, sub, memories)
                         memories = []
+                        qa = qc = None      # params changed: requantize
                         step += 1
                         if (cfg.save_state_steps
                                 and step % cfg.save_state_steps == 0):

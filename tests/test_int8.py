@@ -114,6 +114,87 @@ def test_quantize_tree_structure_and_model_parity():
         assert (np.argsort(ref) == np.argsort(got)).all()
 
 
+def test_xit_fused_ffn_matches_unfused(monkeypatch):
+    """XiT with int8=True on the deterministic path routes its FFN
+    through the fused Pallas kernel when the shapes qualify; the result
+    must match the unfused composition (PALLAS_FUSED_FFN=False) within
+    second-quant tie-flip noise, on the SAME quantized tree."""
+    from lr2ppo_tpu.models.layers import XiT
+
+    # the AUTO default disables fusion on this 8-fake-device test
+    # backend (no SPMD partitioning rule for pallas_call); force it on
+    monkeypatch.setattr(int8_mod, "PALLAS_FUSED_FFN", True)
+    d, heads = 128, 4
+    blk = XiT(feat_size=d, num_heads=heads, drop_p=0.0,
+              forward_drop_p=0.0, dtype=jnp.float32, int8=True)
+    rng = np.random.RandomState(7)
+    # rows = 2*160 = 320 >= the kernel's 256-row block, not a multiple
+    # of it (exercises the padded edge block through the model path)
+    x = jnp.asarray(rng.randn(2, 160, d), jnp.float32)
+    y = jnp.asarray(rng.randn(2, 12, d), jnp.float32)
+
+    p = blk.init(jax.random.PRNGKey(3), x, y)
+    pq = quantize_tree(p, jnp.float32)
+    assert pq["params"]["ffn_fc1"]["kernel"].dtype == jnp.int8
+
+    hdn = 4 * d
+    from lr2ppo_tpu.ops.pallas_int8_mlp import supported
+    assert supported((2, 160, d), (d, hdn), (hdn, d))
+
+    fused = np.asarray(blk.apply(pq, x, y, deterministic=True))
+    monkeypatch.setattr(int8_mod, "PALLAS_FUSED_FFN", False)
+    unfused = np.asarray(blk.apply(pq, x, y, deterministic=True))
+    diff = np.abs(fused - unfused)
+    spread = np.abs(unfused).max() + 1e-6
+    assert (diff <= 1e-5 * spread).mean() > 0.98
+    assert diff.max() < 0.02 * spread
+
+
+def test_pallas_int8_mlp_matches_unfused_composition():
+    """The fully-fused FFN kernel (ops/pallas_int8_mlp.py) must match
+    the unfused gated composition (int8 fc1 + bias + exact gelu + int8
+    fc2 + bias) up to second-quant round-tie flips: the two paths'
+    stage-1 outputs differ by ~1 ulp (different f32 op scheduling), and
+    an element sitting exactly on a rounding boundary of the SECOND
+    quantization then flips a full int8 step (~0.2% of elements, each
+    bounded by one quant step through a w2 row). Rows NOT a multiple of
+    the 256-row block to exercise the padded edge block."""
+    from lr2ppo_tpu.ops.pallas_int8_mlp import pallas_int8_mlp, supported
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(530, 256), jnp.float32)
+    w1 = jnp.asarray(rng.randn(256, 512) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(512) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.randn(512, 256) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(256) * 0.01, jnp.float32)
+    q1, s1 = quantize_kernel(w1)
+    q2, s2 = quantize_kernel(w2)
+    assert supported(x.shape, q1.shape, q2.shape)
+    h = int8_matmul(x, q1, s1, jnp.float32) + b1     # gates zeroed: s8
+    h = jax.nn.gelu(h, approximate=False)
+    ref = np.asarray(int8_matmul(h, q2, s2, jnp.float32) + b2)
+    got = np.asarray(pallas_int8_mlp(x, q1, s1, b1, q2, s2, b2,
+                                     jnp.float32, interpret=True))
+    diff = np.abs(got - ref)
+    # vast majority bit-close; the tie-flip tail bounded by one quant
+    # step of the second quantization propagated through a w2 row
+    assert (diff <= 2e-5).mean() > 0.99
+    step_bound = (float(jnp.max(jnp.abs(h))) / 127.0
+                  * float(jnp.max(jnp.abs(w2))))
+    assert diff.max() < 4.0 * step_bound
+    assert diff.mean() < 1e-4
+    # leading batch dims reshape through
+    x3 = x.reshape(2, 265, 256)
+    got3 = pallas_int8_mlp(x3, q1, s1, b1, q2, s2, b2, jnp.float32,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got3).reshape(530, 256),
+                               np.asarray(got), atol=0, rtol=0)
+    # refusals: mismatched pair, tiny rows, giant weights
+    assert not supported((530, 256), (256, 512), (512, 128))
+    assert not supported((64, 256), (256, 512), (512, 256))
+    assert not supported((530, 2048), (2048, 4096), (4096, 2048))
+
+
 def test_pallas_int8_matmul_matches_xla_path():
     """The fused Pallas kernel (ops/pallas_int8_matmul.py) must be
     bit-identical to the unfused XLA s8 path: same per-row scale

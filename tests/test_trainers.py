@@ -115,6 +115,41 @@ def test_ppo_end_to_end(tmp_path):
     assert int(astate.step) >= 2  # at least one sweep of 2 memories ran
 
 
+def test_ppo_rollout_int8(tmp_path, monkeypatch):
+    """--rollout_int8: rollouts run from int8 views of the live
+    actor/critic params, re-quantized once per sweep. Zero the size
+    gates so the tiny model actually takes the quantized path, and
+    force the fused-FFN Pallas kernel off (its AUTO default is off on
+    the multi-device CPU test backend anyway; the kernel has its own
+    parity tests in test_int8.py)."""
+    from lr2ppo_tpu.ops import int8 as int8_mod
+
+    monkeypatch.setattr(int8_mod, "INT8_MIN_KERNEL_ELEMENTS", 0)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_FLOPS", 0)
+    monkeypatch.setattr(int8_mod, "INT8_DYNQUANT_MIN_WIDTH", 0)
+    jp, hp = make_movienet(tmp_path / "d", n_items=6)
+    cfg = tiny_config(tmp_path, epochs_num=1)
+    cfg.ppo.update_timesteps = 2
+    cfg.ppo.rollout_int8 = True
+    cfg.data.max_tags = 4
+
+    def make_train_loader(epoch):
+        ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, max_imgs=2,
+                             seed=epoch)
+        return Loader(ds, batch_size=4, shuffle=True, seed=epoch)
+
+    ev_ds = MovieNetDataset(jp, hp, "eval", max_imgs=2)
+    ev = EvalLoader(ev_ds, buckets=[8], batch_size=4)
+    tr = PPOTrainer(cfg)
+    astate, cstate, best = tr.fit(make_train_loader, ev)
+    assert np.isfinite(best) and 0.0 <= best <= 1.0
+    assert int(astate.step) >= 2
+    # the trained params stay full-precision floats (int8 only ever
+    # lives in the rollout views)
+    k = astate.params["params"]["trunk"]["xit"]["ffn_fc1"]["kernel"]
+    assert np.issubdtype(np.asarray(k).dtype, np.floating)
+
+
 def test_ppo_tabular_smoke(tmp_path):
     groups = make_letor_groups(n_queries=6, docs=6, n_feat=16)
     q = LetorQueries(groups)
