@@ -92,8 +92,10 @@ def build(bs: int):
     # LR2PPO_BENCH_ROLLOUT_INT8=1: A/B study — run the ROLLOUT's
     # actor/critic forwards through the same gated int8 path (they are
     # no-grad and their params are constant between update sweeps, so
-    # the trainer can quantize once per sweep; here the re-quantization
-    # is charged to EVERY timed iteration, the worst-case accounting).
+    # the trainer re-quantizes once per sweep). run() quantizes ONCE
+    # outside the timed loop — the amortized best case, matching a long
+    # production sweep; see run() for why per-iteration quantize would
+    # also OOM.
     rollout_int8 = os.environ.get("LR2PPO_BENCH_ROLLOUT_INT8", "0") == "1"
     # LR2PPO_BENCH_FUSED_FFN=0: A/B knob for the fully-fused int8 FFN
     # Pallas kernel (ops/pallas_int8_mlp.py). The bench is single-chip,

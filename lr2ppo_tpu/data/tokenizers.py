@@ -399,6 +399,20 @@ class SentencePieceUnigram:
 
         with open(path, "rb") as f:
             buf = f.read()
+        try:
+            return cls(cls._parse_pieces(buf, path))
+        except (IndexError, struct.error) as e:
+            # a truncated/corrupt .model cuts a varint or float field at
+            # the buffer end — surface WHICH file is broken instead of a
+            # raw parser traceback
+            raise ValueError(
+                f"{path}: truncated or corrupt sentencepiece model "
+                f"(unexpected end of buffer while parsing: {e})") from e
+
+    @classmethod
+    def _parse_pieces(cls, buf: bytes, path: str):
+        import struct
+
         pieces = []
         i, n = 0, len(buf)
         while i < n:
@@ -444,7 +458,7 @@ class SentencePieceUnigram:
                 raise ValueError(f"bad wire type {wire} in {path}")
         if not pieces:
             raise ValueError(f"{path}: no sentencepiece pieces found")
-        return cls(pieces)
+        return pieces
 
     @classmethod
     def from_vocab_file(cls, path: str) -> "SentencePieceUnigram":

@@ -17,6 +17,7 @@ rendezvous, barrier, or process group.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -213,6 +214,14 @@ def put_global(x, mesh: Mesh, axis: int = 0, from_full_copy: bool = False):
     return jax.make_array_from_process_local_data(sh, x)
 
 
+@functools.lru_cache(maxsize=8)
+def _replicator(mesh: Mesh):
+    # one cached jitted identity per mesh: a fresh lambda per call would
+    # miss jit's function-identity cache and retrace the all-gather for
+    # every eval batch
+    return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+
+
 def fetch_global(x) -> np.ndarray:
     """Host copy of a (possibly dp-sharded) global device array, correct
     on multi-host pods: single-process is a plain np.asarray; on a pod
@@ -224,10 +233,7 @@ def fetch_global(x) -> np.ndarray:
         return np.asarray(x)
     if getattr(x, "is_fully_replicated", False):
         return np.asarray(x)
-    mesh = x.sharding.mesh
-    rep = jax.jit(lambda a: a,
-                  out_shardings=NamedSharding(mesh, P()))(x)
-    return np.asarray(rep)
+    return np.asarray(_replicator(x.sharding.mesh)(x))
 
 
 def put_batch(batch, mesh: Mesh):

@@ -79,6 +79,16 @@ class DeviceCtx:
         return {k: put_global(v, self.mesh, from_full_copy=True)
                 for k, v in batch.items()}
 
+    def put_array(self, v, axis: int = 0):
+        """One array -> device, batch axis over dp (no dtype cast).
+        On a pod, `v` holds this process's LOCAL rows (same contract as
+        put); single-device/no-mesh is a plain transfer."""
+        if self.mesh is None:
+            return jnp.asarray(v)
+        from lr2ppo_tpu.parallel.mesh import put_global
+
+        return put_global(np.asarray(v), self.mesh, axis=axis)
+
     def place_params(self, tree):
         if self.mesh is None:
             return tree

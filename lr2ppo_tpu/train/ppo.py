@@ -350,6 +350,19 @@ class PPOTrainer:
 
                 batch_iter = islice(batch_iter, skip_batches, None)
             for batch in batch_iter:
+                if device_memories is None and jax.process_count() > 1:
+                    # pod: rollout outputs are dp-sharded GLOBAL arrays
+                    # spanning non-addressable devices — np.asarray on
+                    # them (the host-memory path) is impossible, and
+                    # re-gathering per sweep would defeat the sharded
+                    # input path. Memories stay device-resident; each
+                    # process holds only its shards, so the per-process
+                    # HBM cost is projected/world.
+                    device_memories = True
+                    self.logger.info(
+                        "PPO memories: device-resident (multi-process "
+                        "pod; host-resident memories are single-process "
+                        "only)")
                 if device_memories is None:
                     # one sweep's batches fit under the HBM budget ->
                     # keep them device-resident: the sweep re-uploads
@@ -401,8 +414,11 @@ class PPOTrainer:
                     host_batch = ({k: np.array(v)
                                    for k, v in batch.items()}
                                   if must_copy else batch)
+                # bsz is the PROCESS-LOCAL row count (pod loaders are
+                # shard=(rank, world)); put_array assembles the global
+                # dp-sharded state the same way put assembled the batch
                 bsz, tags = batch["tgts"].shape
-                state = jnp.asarray(np.broadcast_to(
+                state = self.ctx.put_array(np.broadcast_to(
                     np.arange(tags, dtype=np.int32), (bsz, tags)).copy())
                 for _t in range(cfg.ppo.max_timesteps):
                     ra_p, rc_p = rollout_params()
@@ -482,22 +498,26 @@ class PPOTrainer:
                     _save_state(astate, cstate, step, time_ctr,
                                 saver.best)
                     pending_save = False
+        if cfg.eval_steps > 0 and step > 0 and step % cfg.eval_steps != 0:
+            # final eval so a decoupled cadence still scores/saves the
+            # end-of-run model — skipped when the last sweep already
+            # evaluated these exact params. Runs BEFORE the .state
+            # flush below so a best score found here reaches the resume
+            # state (a stale lower `best` would let a later resumed run
+            # overwrite best.ckpt with a worse model).
+            result = evaluate_ndcg(self.actor, astate.params, eval_loader,
+                                   put=self.ctx.put_eval)
+            self.logger.info("Final val NDCG:" + format_ndcg(result))
+            self.metrics.log(step, ndcg_full=result[100000000])
+            saver.maybe_save(result[100000000],
+                             {"actor": astate.params,
+                              "critic": cstate.params})
         if pending_save:
             # run ended before a clean batch boundary materialized:
             # flush so the .state is not stale by up to an lcm window
             # (the epoch range is exhausted, so a resume from it is a
             # no-op; leftover un-swept rollouts are simply dropped)
             _save_state(astate, cstate, step, time_ctr, saver.best)
-        if cfg.eval_steps > 0 and step > 0 and step % cfg.eval_steps != 0:
-            # final eval so a decoupled cadence still scores/saves the
-            # end-of-run model — skipped when the last sweep already
-            # evaluated these exact params
-            result = evaluate_ndcg(self.actor, astate.params, eval_loader,
-                                   put=self.ctx.put_eval)
-            self.logger.info("Final val NDCG:" + format_ndcg(result))
-            saver.maybe_save(result[100000000],
-                             {"actor": astate.params,
-                              "critic": cstate.params})
         self.logger.info(f"Best NDCG: {saver.best}")
         return astate, cstate, saver.best
 

@@ -192,3 +192,17 @@ class TestSentencePieceUnigram:
         assert tok2.backend == "unigram"
         assert tok2.tokenize("hello world") == toks
         assert tok2.convert_tokens_to_ids(toks) == ids
+
+    def test_truncated_model_raises_value_error(self, tmp_path):
+        """A cut-off .model must produce the parser's ValueError naming
+        the file, not a raw IndexError/struct.error from mid-parse."""
+        import pytest
+
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        blob = self._spm_bytes()
+        for cut in (len(blob) - 3, len(blob) // 2, 1):
+            p = tmp_path / f"cut{cut}.model"
+            p.write_bytes(blob[:cut])
+            with pytest.raises(ValueError, match=str(p)):
+                SentencePieceUnigram.from_model_proto(str(p))
