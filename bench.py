@@ -249,7 +249,11 @@ def run_e2e(bs: int = 256, batches: int = 30) -> dict:
     # --- host pipeline leg (production loader, preload + reuse_buffers)
     loader = movienet_train_loader(cfg, "ppo")
     it = iter(loader)
-    first = next(it)             # pay preload/warmup outside the window
+    # pay preload/warmup outside the window; DEEP-COPY at yield time —
+    # reuse_buffers recycles this batch's numpy slots on later yields,
+    # so by the functional pass below `first` would alias rows a
+    # prefetch worker has since overwritten (possibly mid-write)
+    first = {k: np.array(v) for k, v in next(it).items()}
     t0 = time.perf_counter()
     n = 0
     while n < batches:

@@ -188,13 +188,13 @@ class Loader:
                 batch = _collate(items)
             else:
                 batch = _collate_into(items, slot)
-            wrapped = int((np.asarray(idx) < 0).sum())
-            if wrapped and not self.drop_last:
+            neg = np.asarray(idx) < 0
+            if neg.any() and not self.drop_last:
                 # wrap-padded rows in the final batch: mark so eval
-                # consumers don't double-count them
-                valid = np.ones(len(idx), bool)
-                valid[len(idx) - wrapped:] = False
-                batch["_valid"] = valid
+                # consumers don't double-count them. Elementwise (not a
+                # suffix count): chunk-interleaved shard selection can
+                # place wrapped rows mid-array
+                batch["_valid"] = ~neg
             else:
                 batch.pop("_valid", None)
             return batch
@@ -417,10 +417,10 @@ class ProcessLoader(Loader):
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 4,
                  prefetch_depth: int = 2, drop_last: bool = False,
-                 shard: Optional[tuple] = None):
+                 shard: Optional[tuple] = None, shard_chunks: int = 1):
         super().__init__(dataset, batch_size, shuffle, seed,
                          num_workers, prefetch_depth, drop_last,
-                         shard=shard)
+                         shard=shard, shard_chunks=shard_chunks)
         self._pool = None  # (procs, task_q, done_q, views, finalizer)
         # abandoned-iterator hygiene: dispatched tasks are tagged with a
         # generation; a new __iter__ first drains every outstanding task
@@ -537,9 +537,10 @@ class ProcessLoader(Loader):
             lbs = self.bs // self.shard[1] if self.shard else self.bs
             batch = {k: v[:lbs] for k, v in views[slot].items()}
             if wrapped and not self.drop_last:
-                valid = np.ones(lbs, bool)
-                valid[lbs - wrapped:] = False
-                batch["_valid"] = valid
+                # elementwise from the index array (not a suffix count):
+                # chunk-interleaved shard selection can place wrapped
+                # (negative) rows mid-array
+                batch["_valid"] = np.asarray(batches[yielded]) >= 0
             holdback.append(slot)
             if len(holdback) > self.HOLDBACK:
                 free.append(holdback.popleft())

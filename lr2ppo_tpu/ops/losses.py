@@ -142,7 +142,6 @@ def gae_advantages(rewards: Array, values: Array, cont: Array,
     (bootstrap V=0 — episodes end when the window does).
     Returns (advantages, returns), each (N, B).
     """
-    n = rewards.shape[0]
     v_next = jnp.concatenate([values[1:], jnp.zeros_like(values[-1:])])
     delta = rewards + gamma * cont[:, None] * v_next - values
 
@@ -151,7 +150,6 @@ def gae_advantages(rewards: Array, values: Array, cont: Array,
         a = d + gamma * lam * c * carry
         return a, a
 
-    del n
     _, adv_rev = jax.lax.scan(
         step, jnp.zeros_like(delta[0]),
         (jnp.flip(delta, 0), jnp.flip(cont)[:, None].astype(delta.dtype)))

@@ -545,8 +545,6 @@ class PPOTrainer:
         if self.cfg.ppo.use_gae and memories:
             # GAE over the whole sweep window in ONE tiny jitted scan —
             # the (N, B) reward/value stacks stay on device, no host sync
-            from lr2ppo_tpu.ops import gae_advantages
-
             g = self.cfg.ppo
 
             def _rv(m):

@@ -36,6 +36,14 @@ class MetricLogger:
     """Appends one JSON object per report to <path>; no-op without path."""
 
     def __init__(self, path: Optional[str] = None):
+        if path:
+            # pod: metrics are replicated, so every rank would append the
+            # same records — interleaving one jsonl on shared storage.
+            # Only rank 0 writes (reference is_master gating).
+            import jax
+
+            if jax.process_index() != 0:
+                path = None
         self.path = path
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
