@@ -27,9 +27,12 @@ def main(argv=None) -> float:
             next(iter(qb.groups.values())).shape[1] - 2]
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, trad_dims=dims))
 
+    # reuse_buffers like letor_pointwise_loaders: fit_two consumes each
+    # batch before the next yield, and fresh multi-MB batch allocs
+    # page-fault ~4x slower than slot reuse on this host class
     loaders = [Loader(LTRPointwiseDataset(q), cfg.batch_size, shuffle=True,
                       seed=cfg.seed, num_workers=cfg.data.num_workers,
-                      shard=pod_shard())
+                      reuse_buffers=True, shard=pod_shard())
                for q in (qa, qb)]
     evs = [letor_eval_loader(cfg, LTRPointwiseDataset, path=p2)
            for p2 in (cfg.data.dev_path, cfg.data.dev_path2)]

@@ -43,6 +43,13 @@ def torch_linear_bias_init(fan_in: int, dtype=jnp.float32):
     return init
 
 
+def cast(x: Array, dtype) -> Array:
+    """dtype=None means KEEP x's dtype: `x.astype(None)` is NOT a no-op
+    (jnp canonicalizes None to float32, silently upcasting bf16
+    activations to double-width f32 matmuls)."""
+    return x if dtype is None else x.astype(dtype)
+
+
 def normal_002_init(dtype=jnp.float32):
     """Reference from-scratch init: normal(0, 0.02) (ppo.py:362-365)."""
     return jax.nn.initializers.normal(0.02, dtype=dtype)
@@ -93,15 +100,15 @@ class TorchDense(nn.Module):
             bias = (self.param("bias", binit, (self.features,), jnp.float32)
                     if self.use_bias else None)
             return kernel, (kernel_scale if use_int8 else None), bias
+        dt = self.dtype or x.dtype
         if use_int8:
-            y = int8_matmul(x.astype(self.dtype), kernel, kernel_scale,
-                            self.dtype or x.dtype)
+            y = int8_matmul(x.astype(dt), kernel, kernel_scale, dt)
         else:
-            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+            y = jnp.dot(x.astype(dt), kernel.astype(dt),
                         preferred_element_type=self.dtype)
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,), jnp.float32)
-            y = y + bias.astype(self.dtype)
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -270,25 +277,12 @@ class XiT(nn.Module):
     PALLAS_DROPOUT_MIN_ELEMENTS = 128 * 1024 * 1024
 
     def _drop(self, x: Array, rate: float, deterministic: bool) -> Array:
-        if deterministic or rate == 0.0:
-            return x
-        if self.hash_dropout:
-            from lr2ppo_tpu.ops.hash_dropout import hash_dropout
-            from lr2ppo_tpu.ops.pallas_dropout import seed_from_key
+        from lr2ppo_tpu.ops.hash_dropout import module_dropout
 
-            return hash_dropout(x, seed_from_key(self.make_rng("dropout")),
-                                rate)
-        if self.fast_dropout:
-            from lr2ppo_tpu.ops.fast_dropout import packed_dropout
-
-            return packed_dropout(x, self.make_rng("dropout"), rate)
-        if self.pallas_dropout and x.size >= self.PALLAS_DROPOUT_MIN_ELEMENTS:
-            from lr2ppo_tpu.ops.pallas_dropout import (
-                seed_from_key, tpu_dropout)
-
-            return tpu_dropout(x, seed_from_key(self.make_rng("dropout")),
-                               rate)
-        return nn.Dropout(rate)(x, deterministic=False)
+        return module_dropout(self, x, rate, deterministic,
+                              self.hash_dropout, self.fast_dropout,
+                              self.pallas_dropout,
+                              self.PALLAS_DROPOUT_MIN_ELEMENTS)
 
     @nn.compact
     def __call__(self, x: Array, y: Array,

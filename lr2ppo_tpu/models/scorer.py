@@ -25,13 +25,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lr2ppo_tpu.config import ModelConfig
-from lr2ppo_tpu.models.layers import Mlp, TorchDense, XiT
+from lr2ppo_tpu.models.layers import Mlp, TorchDense, XiT, cast
 
 Array = jax.Array
-
-
-def _dtype_of(cfg: ModelConfig, dtype):
-    return dtype
 
 
 class FusionTrunk(nn.Module):
@@ -58,8 +54,10 @@ class FusionTrunk(nn.Module):
 
         if cfg.family == "multimodal":
             b, t = text_emb.shape[:2]
-            tfeat = mlp("text_proj")(text_emb.astype(self.dtype), deterministic)
-            ifeat = mlp("img_proj")(img_emb.astype(self.dtype), deterministic)
+            tfeat = mlp("text_proj")(cast(text_emb, self.dtype),
+                                     deterministic)
+            ifeat = mlp("img_proj")(cast(img_emb, self.dtype),
+                                    deterministic)
             ifeat = ifeat[:, None]                      # (B, 1, I, D)
             x = XiT(feat_size=d, num_heads=cfg.num_heads,
                     faithful=cfg.faithful_attention, drop_p=cfg.drop_p,
@@ -73,7 +71,7 @@ class FusionTrunk(nn.Module):
             x = jnp.concatenate([x, ib], axis=2)        # (B, T, S+I, D)
         else:
             if tokens is None:
-                tokens = text_emb.astype(self.dtype)[:, :, None, :]  # (B,T,1,D)
+                tokens = cast(text_emb, self.dtype)[:, :, None, :]  # (B,T,1,D)
             b, t = tokens.shape[:2]
             x = XiT(feat_size=d, num_heads=cfg.num_heads,
                     faithful=cfg.faithful_attention, drop_p=cfg.drop_p,
@@ -156,7 +154,7 @@ class SeqScoreModel(nn.Module):
         pos_table = self.param(
             "pos_emb", jax.nn.initializers.normal(1.0), (cfg.num_pos, cfg.feat_size),
             jnp.float32)  # torch nn.Embedding default init: N(0,1)
-        x = x + pos_table[:k].astype(self.dtype)[None]
+        x = x + pos_table[:k].astype(x.dtype)[None]
         x = XiT(feat_size=cfg.feat_size, num_heads=cfg.num_heads,
                 causal=True, faithful=cfg.faithful_attention,
                 drop_p=cfg.drop_p, forward_drop_p=cfg.forward_drop_p,
@@ -206,7 +204,7 @@ class TwoDataScoreModel(nn.Module):
         cfg = self.cfg
         dim = text_emb.shape[-1]
         tokens = self.projs[dim](
-            text_emb.astype(self.dtype)[:, :, None, :], deterministic)
+            cast(text_emb, self.dtype)[:, :, None, :], deterministic)
         x = self.trunk(None, None, deterministic, tokens=tokens)
         logits = self.head(x)
         if cfg.mode == "reg":
@@ -216,7 +214,7 @@ class TwoDataScoreModel(nn.Module):
     def project(self, text_emb: Array) -> Array:
         """raw (N, dim) -> unified (N, 768) features."""
         dim = text_emb.shape[-1]
-        return self.projs[dim](text_emb.astype(self.dtype), True)
+        return self.projs[dim](cast(text_emb, self.dtype), True)
 
 
 class ActorCritic:

@@ -107,10 +107,16 @@ hash_dropout.defvjp(_fwd, _bwd)
 
 
 def module_dropout(module, x: jax.Array, rate: float, deterministic: bool,
-                   use_hash: bool) -> jax.Array:
-    """Dropout site for flax modules: canonical nn.Dropout (threefry) or
-    the zero-residual hash variant, selected by `use_hash`. Call from
-    inside @nn.compact with the defining module as `module`."""
+                   use_hash: bool, use_fast: bool = False,
+                   use_pallas: bool = False,
+                   pallas_min_elements: int = 128 * 1024 * 1024
+                   ) -> jax.Array:
+    """THE dropout site for flax modules — every backend dispatch lives
+    here so a backend fix reaches all callers (towers and the fusion
+    models alike). Precedence: hash (zero-residual murmur) > fast
+    (packed bits) > pallas (hardware PRNG, size-gated) > canonical
+    nn.Dropout (threefry). Call from inside @nn.compact with the
+    defining module as `module`."""
     if deterministic or rate == 0.0:
         return x
     if use_hash:
@@ -118,6 +124,15 @@ def module_dropout(module, x: jax.Array, rate: float, deterministic: bool,
 
         return hash_dropout(x, seed_from_key(module.make_rng("dropout")),
                             rate)
+    if use_fast:
+        from lr2ppo_tpu.ops.fast_dropout import packed_dropout
+
+        return packed_dropout(x, module.make_rng("dropout"), rate)
+    if use_pallas and x.size >= pallas_min_elements:
+        from lr2ppo_tpu.ops.pallas_dropout import seed_from_key, tpu_dropout
+
+        return tpu_dropout(x, seed_from_key(module.make_rng("dropout")),
+                           rate)
     from flax import linen as nn
 
     return nn.Dropout(rate)(x, deterministic=False)

@@ -55,8 +55,18 @@ class TransformerEncoder(nn.Module):
                 num_buckets=cfg.relative_attention_buckets_num,
                 name="relative_pos_emb")(s, s)
 
+        # cfg.remat: flax's LIFTED transform (nn.remat), not raw
+        # jax.checkpoint around a bound-module closure — the raw form
+        # leaks scope-cached param tracers and crashes every apply().
+        # static_argnums counts self as 0; deterministic (a bool that
+        # gates python control flow in the layer) is call-arg 5.
+        layer_cls = (nn.remat(
+            TransformerLayer, static_argnums=(5,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+            if cfg.remat else TransformerLayer)
+
         def layer(name: str) -> TransformerLayer:
-            return TransformerLayer(
+            return layer_cls(
                 hidden_size=cfg.hidden_size, heads_num=cfg.heads_num,
                 feedforward_size=cfg.feedforward_size, dropout=cfg.dropout,
                 hidden_act=cfg.hidden_act,
@@ -83,14 +93,8 @@ class TransformerEncoder(nn.Module):
         for i in range(cfg.layers_num):
             blk = shared if shared is not None else layer(f"transformer_{i}")
 
-            def run(h, p, blk=blk):
-                return blk(h, mask, position_bias, p, deterministic,
-                           key_bias)
-
-            if cfg.remat:
-                run = jax.checkpoint(
-                    run, policy=jax.checkpoint_policies.nothing_saveable)
-            hidden, prev_attn = run(hidden, prev_attn)
+            hidden, prev_attn = blk(hidden, mask, position_bias,
+                                    prev_attn, deterministic, key_bias)
             if not cfg.has_residual_attention:
                 prev_attn = None
 

@@ -167,16 +167,22 @@ class ClrTarget(nn.Module):
                  tgt: Array, seg: Tuple[Array, Array]):
         cfg = self.cfg
         emb0, emb1 = memory_bank
-        f0 = pooling(emb0, seg[0], cfg.stream_0["pooling"])
-        f1 = pooling(emb1, seg[1], cfg.stream_1["pooling"])
+        # overlay each stream dict on the base config (the same rule
+        # build_encoder/TowerModel.setup apply) — a partial stream dict
+        # that omits 'pooling'/'hidden_size' inherits the base value
+        # instead of raising KeyError here while working elsewhere
+        s0 = lambda k: cfg.stream_0.get(k, getattr(cfg, k))
+        s1 = lambda k: cfg.stream_1.get(k, getattr(cfg, k))
+        f0 = pooling(emb0, seg[0], s0("pooling"))
+        f1 = pooling(emb1, seg[1], s1("pooling"))
         if cfg.projection:
             p0 = self.param("encoder_0_projection",
                             jax.nn.initializers.normal(1.0),
-                            (cfg.stream_0["hidden_size"], cfg.feature_size),
+                            (s0("hidden_size"), cfg.feature_size),
                             jnp.float32)
             p1 = self.param("encoder_1_projection",
                             jax.nn.initializers.normal(1.0),
-                            (cfg.stream_1["hidden_size"], cfg.feature_size),
+                            (s1("hidden_size"), cfg.feature_size),
                             jnp.float32)
             f0, f1 = f0 @ p0, f1 @ p1
         f0 = f0 / jnp.linalg.norm(f0, axis=-1, keepdims=True)

@@ -86,3 +86,76 @@ def test_metric_logger_gated_to_rank0(tmp_path, monkeypatch):
     ml0 = MetricLogger(str(p))
     ml0.log(0, loss=1.0)
     assert p.exists()
+
+
+def test_transformer_encoder_remat_applies():
+    # remat must be flax's lifted nn.remat: raw jax.checkpoint around a
+    # bound-module closure leaks scope tracers and crashed every apply
+    import jax
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.towers import TowerConfig
+    from lr2ppo_tpu.towers.encoders import build_encoder
+
+    base = dict(emb_size=16, hidden_size=16, feedforward_size=32,
+                heads_num=4, layers_num=2, max_seq_length=16,
+                dropout=0.0, vocab_size=24, encoder="transformer")
+    emb = jnp.asarray(
+        np.random.RandomState(7).randn(2, 6, 16).astype(np.float32))
+    seg = np.ones((2, 6), np.int32)
+    outs = {}
+    for remat in (False, True):
+        cfg = TowerConfig.from_dict({**base, "remat": remat})
+        enc = build_encoder(cfg)
+        params = enc.init(jax.random.PRNGKey(0), emb, seg)
+        outs[remat] = np.asarray(enc.apply(params, emb, seg))
+        # and under grad, where remat actually fires
+        g = jax.grad(lambda p: enc.apply(p, emb, seg).sum())(params)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(g))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6)
+
+
+def test_clr_target_partial_stream_dicts():
+    # stream dicts that omit pooling/hidden_size inherit the base config
+    # (same overlay rule as build_encoder), instead of KeyError
+    import jax
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.towers import TowerConfig, build_model
+
+    cfg = TowerConfig.from_dict({
+        "emb_size": 16, "hidden_size": 16, "feedforward_size": 32,
+        "heads_num": 4, "layers_num": 1, "max_seq_length": 16,
+        "dropout": 0.0, "vocab_size": 24, "embedding": ["word"],
+        "encoder": "dual", "target": ["clr"], "projection": True,
+        "feature_size": 8, "pooling": "mean",
+        "stream_0": {"encoder": "transformer"},
+        "stream_1": {"encoder": "transformer", "pooling": "first"},
+    })
+    model = build_model(cfg)
+    rng = np.random.RandomState(3)
+    src = (jnp.asarray(rng.randint(1, 24, (4, 6)), jnp.int32),
+           jnp.asarray(rng.randint(1, 24, (4, 5)), jnp.int32))
+    seg = (jnp.ones((4, 6), jnp.int32), jnp.ones((4, 5), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), src, jnp.arange(4), seg)
+    loss, _c, _d = model.apply(params, src, jnp.arange(4), seg)
+    assert np.isfinite(float(loss))
+
+
+def test_dense_dtype_none_keeps_bf16():
+    # dtype=None must mean 'keep the input dtype': x.astype(None)
+    # canonicalizes to float32, silently doubling activation width
+    import jax
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.models.layers import TorchDense, cast
+
+    x16 = jnp.ones((2, 4), jnp.bfloat16)
+    assert cast(x16, None).dtype == jnp.bfloat16
+    assert cast(x16, jnp.float32).dtype == jnp.float32
+    dense = TorchDense(8)
+    p = dense.init(jax.random.PRNGKey(0), x16)
+    assert dense.apply(p, x16).dtype == jnp.bfloat16
+    x32 = jnp.ones((2, 4), jnp.float32)
+    assert dense.apply(p, x32).dtype == jnp.float32
