@@ -222,18 +222,27 @@ def _replicator(mesh: Mesh):
     return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
 
 
+def replicate_global(x):
+    """Device-side full replication of a (possibly sharded) global
+    array — the COLLECTIVE half of fetch_global (an XLA all-gather over
+    the array's own mesh; every process must call it in lockstep). No
+    host copy: pod ranks that won't consume the value (e.g. non-zero
+    ranks in save_checkpoint) can stop here and skip the multi-GB
+    np.asarray."""
+    if jax.process_count() == 1 or not hasattr(x, "sharding"):
+        return x
+    if getattr(x, "is_fully_replicated", False):
+        return x
+    return _replicator(x.sharding.mesh)(x)
+
+
 def fetch_global(x) -> np.ndarray:
     """Host copy of a (possibly dp-sharded) global device array, correct
     on multi-host pods: single-process is a plain np.asarray; on a pod
-    the value is first replicated by a jitted identity (an XLA
-    all-gather over the array's own mesh — every process must call this
-    in lockstep, which eval loops do since their loaders are
-    deterministic), then fetched locally."""
-    if jax.process_count() == 1 or not hasattr(x, "sharding"):
-        return np.asarray(x)
-    if getattr(x, "is_fully_replicated", False):
-        return np.asarray(x)
-    return np.asarray(_replicator(x.sharding.mesh)(x))
+    the value is first replicated by a jitted identity (see
+    replicate_global — lockstep collective, which eval loops satisfy
+    since their loaders are deterministic), then fetched locally."""
+    return np.asarray(replicate_global(x))
 
 
 def put_batch(batch, mesh: Mesh):

@@ -214,16 +214,18 @@ def save_checkpoint(path: str, tree, metadata: Optional[dict] = None,
                    force=True)
         ckptr.wait_until_finished()
         return
-    # Pod contract: EVERY process must run the gather below (fetch_global
-    # is an XLA collective for sharded leaves), but only rank 0 writes —
-    # unsynchronized ranks racing one file on shared storage (the normal
-    # pod setup) interleave and corrupt the pickle. The reference gates
-    # saves on is_master (finetune/misc.py:77-91).
-    from lr2ppo_tpu.parallel.mesh import fetch_global
+    # Pod contract: EVERY process must run the gather (replicate_global
+    # is an XLA collective for sharded leaves), but only rank 0 pays the
+    # multi-GB host copy and writes — unsynchronized ranks racing one
+    # file on shared storage (the normal pod setup) interleave and
+    # corrupt the pickle. The reference gates saves on is_master
+    # (finetune/misc.py:77-91).
+    from lr2ppo_tpu.parallel.mesh import replicate_global
 
-    host_tree = jax.tree.map(fetch_global, tree)
+    tree = jax.tree.map(replicate_global, tree)
     if jax.process_index() != 0:
         return
+    host_tree = jax.tree.map(np.asarray, tree)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     payload = {"tree": host_tree, "metadata": metadata or {}}
     tmp = path + ".tmp"

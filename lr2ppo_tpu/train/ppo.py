@@ -498,26 +498,33 @@ class PPOTrainer:
                     _save_state(astate, cstate, step, time_ctr,
                                 saver.best)
                     pending_save = False
-        if cfg.eval_steps > 0 and step > 0 and step % cfg.eval_steps != 0:
-            # final eval so a decoupled cadence still scores/saves the
-            # end-of-run model — skipped when the last sweep already
-            # evaluated these exact params. Runs BEFORE the .state
-            # flush below so a best score found here reaches the resume
-            # state (a stale lower `best` would let a later resumed run
-            # overwrite best.ckpt with a worse model).
-            result = evaluate_ndcg(self.actor, astate.params, eval_loader,
-                                   put=self.ctx.put_eval)
-            self.logger.info("Final val NDCG:" + format_ndcg(result))
-            self.metrics.log(step, ndcg_full=result[100000000])
-            saver.maybe_save(result[100000000],
-                             {"actor": astate.params,
-                              "critic": cstate.params})
-        if pending_save:
-            # run ended before a clean batch boundary materialized:
-            # flush so the .state is not stale by up to an lcm window
-            # (the epoch range is exhausted, so a resume from it is a
-            # no-op; leftover un-swept rollouts are simply dropped)
-            _save_state(astate, cstate, step, time_ctr, saver.best)
+        improved = False
+        try:
+            if (cfg.eval_steps > 0 and step > 0
+                    and step % cfg.eval_steps != 0):
+                # final eval so a decoupled cadence still scores/saves
+                # the end-of-run model — skipped when the last sweep
+                # already evaluated these exact params. Runs BEFORE the
+                # .state flush below so a best score found here reaches
+                # the resume state (a stale lower `best` would let a
+                # later resumed run overwrite best.ckpt with a worse
+                # model).
+                result = evaluate_ndcg(self.actor, astate.params,
+                                       eval_loader, put=self.ctx.put_eval)
+                self.logger.info("Final val NDCG:" + format_ndcg(result))
+                self.metrics.log(step, ndcg_full=result[100000000])
+                improved = saver.maybe_save(result[100000000],
+                                            {"actor": astate.params,
+                                             "critic": cstate.params})
+        finally:
+            # `finally`: a crash inside the final eval must not lose the
+            # end-of-run resume point. Flush when the run ended off a
+            # clean batch boundary (.state otherwise stale by up to an
+            # lcm window) OR when the final eval raised the best
+            # watermark (a .state carrying the old lower best would let
+            # a later resumed run overwrite best.ckpt with worse params)
+            if pending_save or improved:
+                _save_state(astate, cstate, step, time_ctr, saver.best)
         self.logger.info(f"Best NDCG: {saver.best}")
         return astate, cstate, saver.best
 

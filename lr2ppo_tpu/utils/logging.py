@@ -23,11 +23,16 @@ def init_logger(log_path: Optional[str] = None,
     sh.setFormatter(fmt)
     logger.addHandler(sh)
     if log_path:
-        os.makedirs(os.path.dirname(os.path.abspath(log_path)) or ".",
-                    exist_ok=True)
-        fh = logging.FileHandler(log_path)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        # pod: rank-0-only file handler (same shared-file interleaving
+        # hazard as MetricLogger below; console stays on every rank)
+        import jax
+
+        if jax.process_index() == 0:
+            os.makedirs(os.path.dirname(os.path.abspath(log_path)) or ".",
+                        exist_ok=True)
+            fh = logging.FileHandler(log_path)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     logger.propagate = False
     return logger
 

@@ -159,3 +159,21 @@ def test_dense_dtype_none_keeps_bf16():
     assert dense.apply(p, x16).dtype == jnp.bfloat16
     x32 = jnp.ones((2, 4), jnp.float32)
     assert dense.apply(p, x32).dtype == jnp.float32
+
+
+def test_init_logger_file_handler_rank0(tmp_path, monkeypatch):
+    import logging as pylogging
+
+    import jax
+
+    from lr2ppo_tpu.utils.logging import init_logger
+
+    p = tmp_path / "run.log"
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    lg = init_logger(str(p), name="t_rank1")
+    assert not any(isinstance(h, pylogging.FileHandler)
+                   for h in lg.handlers)
+    assert not p.exists()
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    lg0 = init_logger(str(p), name="t_rank0")
+    assert any(isinstance(h, pylogging.FileHandler) for h in lg0.handlers)
