@@ -336,6 +336,17 @@ class PPOTrainer:
             f"update every {upd}")
 
         device_memories: Optional[bool] = None
+        if jax.process_count() > 1:
+            # pod: rollout outputs are dp-sharded GLOBAL arrays spanning
+            # non-addressable devices — np.asarray on them (the
+            # host-memory path) is impossible, and re-gathering per
+            # sweep would defeat the sharded input path. Memories stay
+            # device-resident; each process holds only its shards, so
+            # the per-process HBM cost is projected/world.
+            device_memories = True
+            self.logger.info(
+                "PPO memories: device-resident (multi-process pod; "
+                "host-resident memories are single-process only)")
         for epoch in range(start_epoch, cfg.epochs_num + 1):
             loader = make_train_loader(epoch)
             loader.set_epoch(epoch)
@@ -350,19 +361,6 @@ class PPOTrainer:
 
                 batch_iter = islice(batch_iter, skip_batches, None)
             for batch in batch_iter:
-                if device_memories is None and jax.process_count() > 1:
-                    # pod: rollout outputs are dp-sharded GLOBAL arrays
-                    # spanning non-addressable devices — np.asarray on
-                    # them (the host-memory path) is impossible, and
-                    # re-gathering per sweep would defeat the sharded
-                    # input path. Memories stay device-resident; each
-                    # process holds only its shards, so the per-process
-                    # HBM cost is projected/world.
-                    device_memories = True
-                    self.logger.info(
-                        "PPO memories: device-resident (multi-process "
-                        "pod; host-resident memories are single-process "
-                        "only)")
                 if device_memories is None:
                     # one sweep's batches fit under the HBM budget ->
                     # keep them device-resident: the sweep re-uploads

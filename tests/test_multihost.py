@@ -57,10 +57,14 @@ assert float(total) == 3.0, float(total)
 print(f"proc {pid} OK total={float(total)}")
 """
 
-# Trains the real PointwiseTrainer over a dp mesh spanning every process,
-# feeding process-local Loader shards; world=1 is the single-process
-# oracle over the identical global batches.
-_TRAIN_CHILD = r"""
+# Shared scaffolding for the training children: coordinator rendezvous,
+# identical synthetic data on every rank, tiny multimodal config, and
+# the (rank, world) shard. Eval loaders are deliberately UNSHARDED:
+# every rank assembles the identical full batch; DeviceCtx.put_eval
+# slices each rank's rows out of that full copy and the evaluators
+# fetch dp-sharded rows through fetch_global's replicate-then-read —
+# the pod eval path end-to-end.
+_POD_PRELUDE = r"""
 import pickle
 import sys
 
@@ -80,8 +84,8 @@ if world > 1:
 import numpy as np
 
 from lr2ppo_tpu.config import Config, ModelConfig
+from lr2ppo_tpu.data import EvalLoader
 from lr2ppo_tpu.data.pipeline import Loader
-from lr2ppo_tpu.train.pointwise import PointwiseTrainer
 
 FEAT, SEQ, IMGS, TAGS, BS, N = 8, 3, 2, 2, 4, 16
 rng = np.random.RandomState(3)           # identical data on every rank
@@ -103,88 +107,45 @@ mcfg = ModelConfig(family="multimodal", feat_size=FEAT, seq_length=SEQ,
                    max_imgs=IMGS, num_heads=2, mode="reg",
                    drop_p=0.0, forward_drop_p=0.0)
 cfg = Config(model=mcfg)
-cfg.epochs_num = 2
 cfg.batch_size = BS
 cfg.report_steps = 10 ** 6
 cfg.output_model_path = ""
 
 shard = (jax.process_index(), world) if world > 1 else None
-loader = Loader(DS(), BS, shuffle=True, seed=5, num_workers=1, shard=shard)
-# eval loader deliberately UNSHARDED: every rank assembles the identical
-# full batch; DeviceCtx.put_eval slices each rank's rows out of that
-# full copy and evaluate_ndcg fetches the dp-sharded NDCG rows through
-# fetch_global's replicate-then-read — the pod eval path end-to-end
-from lr2ppo_tpu.data import EvalLoader
 
-ev = EvalLoader(DS(), buckets=[TAGS], batch_size=BS)
-trainer = PointwiseTrainer(cfg)
-state, best = trainer.fit(loader, ev)
-assert np.isfinite(best) and 0.0 < best <= 1.0, best
 
-host = jax.tree.map(np.asarray, jax.device_get(state.params))
-with open(out, "wb") as f:
-    pickle.dump({"params": host, "best": float(best)}, f)
-print(f"proc {pid}/{world} trained OK")
+def dump(params, best):
+    assert np.isfinite(best) and 0.0 < best <= 1.0, best
+    host = jax.tree.map(np.asarray, jax.device_get(params))
+    with open(out, "wb") as f:
+        pickle.dump({"params": host, "best": float(best)}, f)
+    print(f"proc {pid}/{world} trained OK")
 """
 
+# Trains the real PointwiseTrainer over a dp mesh spanning every process,
+# feeding process-local Loader shards; world=1 is the single-process
+# oracle over the identical global batches.
+_TRAIN_CHILD = _POD_PRELUDE + r"""
+from lr2ppo_tpu.train.pointwise import PointwiseTrainer
+
+cfg.epochs_num = 2
+loader = Loader(DS(), BS, shuffle=True, seed=5, num_workers=1, shard=shard)
+ev = EvalLoader(DS(), buckets=[TAGS], batch_size=BS)
+state, best = PointwiseTrainer(cfg).fit(loader, ev)
+dump(state.params, best)
+"""
 
 # The flagship pod path: PPOTrainer over a 2-process dp mesh. Exercises
 # the pod-only branches end-to-end — put_array's global per-timestep
 # state, forced device-resident memories (host np.asarray of
 # non-addressable shards is impossible), rank-0-gated checkpoint/metric
 # writes, and the pod eval path. world=1 is the oracle.
-_PPO_CHILD = r"""
-import pickle
-import sys
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-coordinator, pid, world, out = (sys.argv[1], int(sys.argv[2]),
-                                int(sys.argv[3]), sys.argv[4])
-if world > 1:
-    from lr2ppo_tpu.parallel.mesh import initialize_distributed
-
-    initialize_distributed(coordinator=coordinator, num_processes=world,
-                           process_id=pid)
-    assert jax.process_count() == world
-
-import numpy as np
-
-from lr2ppo_tpu.config import Config, ModelConfig
-from lr2ppo_tpu.data import EvalLoader
-from lr2ppo_tpu.data.pipeline import Loader
+_PPO_CHILD = _POD_PRELUDE + r"""
 from lr2ppo_tpu.train.ppo import PPOTrainer
 
-FEAT, SEQ, IMGS, TAGS, BS, N = 8, 3, 2, 2, 4, 16
-rng = np.random.RandomState(11)          # identical data on every rank
-items = [dict(text=rng.randn(TAGS, SEQ, FEAT).astype(np.float32),
-              img=rng.randn(IMGS, FEAT).astype(np.float32),
-              tgts=rng.randint(0, 3, (TAGS,)).astype(np.float32))
-         for _ in range(N)]
-
-
-class DS:
-    def __len__(self):
-        return N
-
-    def get(self, i):
-        return items[i]
-
-
-mcfg = ModelConfig(family="multimodal", feat_size=FEAT, seq_length=SEQ,
-                   max_imgs=IMGS, num_heads=2, mode="reg",
-                   drop_p=0.0, forward_drop_p=0.0)
-cfg = Config(model=mcfg)
 cfg.epochs_num = 1
-cfg.batch_size = BS
-cfg.report_steps = 10 ** 6
-cfg.output_model_path = ""
 cfg.ppo.update_timesteps = 2
 cfg.data.max_tags = TAGS
-
-shard = (jax.process_index(), world) if world > 1 else None
 
 
 def make_train_loader(epoch):
@@ -193,14 +154,8 @@ def make_train_loader(epoch):
 
 
 ev = EvalLoader(DS(), buckets=[TAGS], batch_size=BS)
-trainer = PPOTrainer(cfg)
-astate, cstate, best = trainer.fit(make_train_loader, ev)
-assert np.isfinite(best) and 0.0 < best <= 1.0, best
-
-host = jax.tree.map(np.asarray, jax.device_get(astate.params))
-with open(out, "wb") as f:
-    pickle.dump({"params": host, "best": float(best)}, f)
-print(f"proc {pid}/{world} ppo OK")
+astate, cstate, best = PPOTrainer(cfg).fit(make_train_loader, ev)
+dump(astate.params, best)
 """
 
 
@@ -251,14 +206,26 @@ def test_two_process_distributed_initialize():
         assert "OK total=3.0" in out
 
 
-def test_two_process_pointwise_training(tmp_path):
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + "/" + str(k)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def _check_pod_matches_oracle(child, tmp_path, stem):
+    """Run `child` as a 2-process pod (each rank feeding its Loader
+    shard) and as a 1-process oracle over the same global batches, then
+    assert the pod ranks end bit-identical and match the oracle."""
     env = _cpu_env()
-    # 2-process pod: each rank feeds its Loader shard
-    paths = [str(tmp_path / f"params_{i}.pkl") for i in range(2)]
+    paths = [str(tmp_path / f"{stem}_{i}.pkl") for i in range(2)]
     for attempt in range(3):
         coordinator = f"127.0.0.1:{_free_port()}"
         procs, outs = _spawn(
-            _TRAIN_CHILD,
+            child,
             [[coordinator, str(i), "2", paths[i]] for i in range(2)],
             env, timeout=420)
         if all(p.returncode == 0 for p in procs):
@@ -266,9 +233,8 @@ def test_two_process_pointwise_training(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
 
-    # single-process oracle over the same global batches
-    base = str(tmp_path / "params_base.pkl")
-    procs, outs = _spawn(_TRAIN_CHILD, [["-", "0", "1", base]], env,
+    base = str(tmp_path / f"{stem}_base.pkl")
+    procs, outs = _spawn(child, [["-", "0", "1", base]], env,
                          timeout=420)
     assert procs[0].returncode == 0, outs[0][-3000:]
 
@@ -281,10 +247,8 @@ def test_two_process_pointwise_training(tmp_path):
     # and equal to the single-process run's
     assert r0["best"] == r1["best"]
     np.testing.assert_allclose(r0["best"], oracle["best"], rtol=1e-4)
-    r0, r1, oracle = r0["params"], r1["params"], oracle["params"]
-    flat0 = _flatten(r0)
-    flat1 = _flatten(r1)
-    flatb = _flatten(oracle)
+    flat0, flat1 = _flatten(r0["params"]), _flatten(r1["params"])
+    flatb = _flatten(oracle["params"])
     assert flat0.keys() == flat1.keys() == flatb.keys()
     for k in flat0:
         # SPMD is deterministic: both ranks hold the identical replicated
@@ -295,49 +259,9 @@ def test_two_process_pointwise_training(tmp_path):
                                    atol=2e-5, err_msg=k)
 
 
-def _flatten(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, prefix + "/" + str(k)))
-    else:
-        out[prefix] = np.asarray(tree)
-    return out
+def test_two_process_pointwise_training(tmp_path):
+    _check_pod_matches_oracle(_TRAIN_CHILD, tmp_path, "params")
 
 
 def test_two_process_ppo_training(tmp_path):
-    env = _cpu_env()
-    paths = [str(tmp_path / f"ppo_{i}.pkl") for i in range(2)]
-    for attempt in range(3):
-        coordinator = f"127.0.0.1:{_free_port()}"
-        procs, outs = _spawn(
-            _PPO_CHILD,
-            [[coordinator, str(i), "2", paths[i]] for i in range(2)],
-            env, timeout=420)
-        if all(p.returncode == 0 for p in procs):
-            break
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-
-    base = str(tmp_path / "ppo_base.pkl")
-    procs, outs = _spawn(_PPO_CHILD, [["-", "0", "1", base]], env,
-                         timeout=420)
-    assert procs[0].returncode == 0, outs[0][-3000:]
-
-    trees = []
-    for path in paths + [base]:
-        with open(path, "rb") as f:
-            trees.append(pickle.load(f))
-    r0, r1, oracle = trees
-    assert r0["best"] == r1["best"]
-    np.testing.assert_allclose(r0["best"], oracle["best"], rtol=1e-4)
-    flat0, flat1 = _flatten(r0["params"]), _flatten(r1["params"])
-    flatb = _flatten(oracle["params"])
-    assert flat0.keys() == flat1.keys() == flatb.keys()
-    for k in flat0:
-        # SPMD is deterministic: both ranks hold the identical
-        # replicated actor, bit for bit
-        np.testing.assert_array_equal(flat0[k], flat1[k], err_msg=k)
-        # and it matches the 1-process run up to reduction-order noise
-        np.testing.assert_allclose(flat0[k], flatb[k], rtol=2e-4,
-                                   atol=2e-5, err_msg=k)
+    _check_pod_matches_oracle(_PPO_CHILD, tmp_path, "ppo")
