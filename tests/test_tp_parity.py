@@ -77,3 +77,33 @@ def test_tp2_matches_dp_only_training():
         # ones: allclose, not bit-equal
         np.testing.assert_allclose(f_tp[k], f_dp[k], rtol=2e-4,
                                    atol=2e-5, err_msg=k)
+
+
+def _train_ppo(dp: int, tp: int):
+    from lr2ppo_tpu.train.ppo import PPOTrainer
+
+    cfg = _cfg(dp, tp)
+    cfg.ppo.update_timesteps = 2
+    cfg.data.max_tags = TAGS
+
+    def make_train_loader(epoch):
+        return Loader(_DS(), BS, shuffle=True, seed=epoch, num_workers=1)
+
+    ev = EvalLoader(_DS(), buckets=[TAGS], batch_size=BS)
+    astate, _cstate, best = PPOTrainer(cfg).fit(make_train_loader, ev)
+    host = jax.tree.map(np.asarray, jax.device_get(astate.params))
+    return host, float(best)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_ppo_tp2_matches_dp_only_training():
+    # the flagship stage: rollout (actor+critic+reward, sort, reward
+    # gather) + |adv|-weighted rank-hinge update under tp sharding
+    p_dp, best_dp = _train_ppo(dp=8, tp=1)
+    p_tp, best_tp = _train_ppo(dp=4, tp=2)
+    np.testing.assert_allclose(best_tp, best_dp, rtol=1e-4)
+    f_dp, f_tp = _flat(p_dp), _flat(p_tp)
+    assert f_dp.keys() == f_tp.keys()
+    for k in f_dp:
+        np.testing.assert_allclose(f_tp[k], f_dp[k], rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
