@@ -91,7 +91,11 @@ FEAT, SEQ, IMGS, TAGS, BS, N = 8, 3, 2, 2, 4, 16
 rng = np.random.RandomState(3)           # identical data on every rank
 items = [dict(text=rng.randn(TAGS, SEQ, FEAT).astype(np.float32),
               img=rng.randn(IMGS, FEAT).astype(np.float32),
-              tgts=rng.randint(0, 3, (TAGS,)).astype(np.float32))
+              tgts=rng.randint(0, 3, (TAGS,)).astype(np.float32),
+              # 4-index chosen/reject patterns (reward pairs); unused
+              # extra keys for the other trainers
+              chosen_index=np.asarray([0, 1, 0, 1], np.int32),
+              reject_index=np.asarray([0, 1, 1, 0], np.int32))
          for _ in range(N)]
 
 
@@ -132,6 +136,18 @@ cfg.epochs_num = 2
 loader = Loader(DS(), BS, shuffle=True, seed=5, num_workers=1, shard=shard)
 ev = EvalLoader(DS(), buckets=[TAGS], batch_size=BS)
 state, best = PointwiseTrainer(cfg).fit(loader, ev)
+dump(state.params, best)
+"""
+
+# Stage-2 reward trainer: dual-forward hinge over the pod mesh, plus
+# the pairwise-accuracy eval path (fetch_global on dp-sharded hits).
+_REWARD_CHILD = _POD_PRELUDE + r"""
+from lr2ppo_tpu.train.reward import RewardTrainer
+
+cfg.epochs_num = 2
+loader = Loader(DS(), BS, shuffle=True, seed=5, num_workers=1, shard=shard)
+ev = Loader(DS(), BS, shuffle=False, num_workers=1)
+state, best = RewardTrainer(cfg).fit(loader, ev)
 dump(state.params, best)
 """
 
@@ -261,6 +277,10 @@ def _check_pod_matches_oracle(child, tmp_path, stem):
 
 def test_two_process_pointwise_training(tmp_path):
     _check_pod_matches_oracle(_TRAIN_CHILD, tmp_path, "params")
+
+
+def test_two_process_reward_training(tmp_path):
+    _check_pod_matches_oracle(_REWARD_CHILD, tmp_path, "reward")
 
 
 def test_two_process_ppo_training(tmp_path):
