@@ -135,3 +135,38 @@ def test_eval_steps_decouples_eval_cadence(tmp_path, monkeypatch):
     expected = sweeps // 3 + (1 if sweeps % 3 else 0)
     assert calls["n"] == expected, (calls["n"], expected, sweeps)
     assert np.isfinite(best) and best > 0
+
+
+def test_final_eval_best_reaches_resume_state(tmp_path):
+    """A best score found by the end-of-run decoupled eval must reach
+    the .state resume checkpoint even when the run ended on a clean
+    save boundary (pending_save False) — otherwise a resumed run
+    restores a stale lower watermark and can overwrite best.ckpt with
+    worse params."""
+    from fixtures import make_movienet
+    from test_trainers import tiny_config
+    from lr2ppo_tpu.data import EvalLoader, Loader, MovieNetDataset
+    from lr2ppo_tpu.train import ppo as ppo_mod
+    from lr2ppo_tpu.train.checkpoints import load_checkpoint
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=8)
+    cfg = tiny_config(tmp_path, epochs_num=1)
+    cfg.ppo.update_timesteps = 2
+    # eval only at the end (cadence larger than the sweep count) and
+    # save .state every sweep so pending_save is False at loop exit
+    cfg = cfg.replace(eval_steps=10 ** 6, save_state_steps=2)
+    cfg.data.max_tags = 4
+
+    def make_train_loader(epoch):
+        ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, max_imgs=2,
+                             seed=epoch)
+        return Loader(ds, batch_size=4, shuffle=True, seed=epoch)
+
+    ev_ds = MovieNetDataset(jp, hp, "eval", max_imgs=2)
+    ev = EvalLoader(ev_ds, buckets=[8], batch_size=4)
+    _a, _c, best = ppo_mod.PPOTrainer(cfg).fit(make_train_loader, ev)
+    assert np.isfinite(best) and best > 0
+    tree, _meta = load_checkpoint(cfg.output_model_path + ".state")
+    # the final eval was the ONLY eval, so its score is the watermark
+    # (f32 storage in the pickle: allclose, not equal)
+    np.testing.assert_allclose(float(tree["best"]), best, rtol=1e-6)
