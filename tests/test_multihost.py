@@ -139,6 +139,41 @@ state, best = PointwiseTrainer(cfg).fit(loader, ev)
 dump(state.params, best)
 """
 
+# Tower pretraining over the pod mesh WITH gradient accumulation:
+# each rank feeds chunk-interleaved shards (shard_chunks=accum, the
+# layout the in-compile lax.scan accumulation folds), the path the
+# pretrain CLI wires for pods. No eval metric — dump best=0.5 sentinel.
+_PRETRAIN_CHILD = _POD_PRELUDE + r"""
+from lr2ppo_tpu.towers.model import TowerConfig
+from lr2ppo_tpu.train.pretrain import PretrainTrainer
+
+
+class TowerDS:
+    def set_epoch(self, e):
+        pass
+
+    def __len__(self):
+        return N
+
+    def get(self, i):
+        r = np.random.default_rng(i)          # identical on every rank
+        src = r.integers(5, 30, 8).astype(np.int32)
+        tgt = np.where(r.random(8) < 0.3, src, 0).astype(np.int32)
+        return {"src": src, "tgt": tgt, "seg": np.ones(8, np.int32)}
+
+
+ACCUM = 2
+cfg.epochs_num = 2
+tcfg = TowerConfig(emb_size=16, hidden_size=16, feedforward_size=32,
+                   heads_num=4, layers_num=1, max_seq_length=16,
+                   vocab_size=32)
+loader = Loader(TowerDS(), BS, shuffle=True, seed=5, num_workers=1,
+                shard=shard, shard_chunks=ACCUM)
+tr = PretrainTrainer(cfg, tcfg, accumulation_steps=ACCUM)
+state, _ = tr.fit(loader)
+dump(state.params, 0.5)
+"""
+
 # Stage-2 reward trainer: dual-forward hinge over the pod mesh, plus
 # the pairwise-accuracy eval path (fetch_global on dp-sharded hits).
 _REWARD_CHILD = _POD_PRELUDE + r"""
@@ -281,6 +316,10 @@ def test_two_process_pointwise_training(tmp_path):
 
 def test_two_process_reward_training(tmp_path):
     _check_pod_matches_oracle(_REWARD_CHILD, tmp_path, "reward")
+
+
+def test_two_process_pretrain_accum_training(tmp_path):
+    _check_pod_matches_oracle(_PRETRAIN_CHILD, tmp_path, "pretrain")
 
 
 def test_two_process_ppo_training(tmp_path):
