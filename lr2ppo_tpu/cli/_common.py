@@ -23,6 +23,30 @@ from lr2ppo_tpu.data import (
 from lr2ppo_tpu.data.pipeline import ProcessLoader
 
 
+def maybe_init_distributed(cfg: Config) -> None:
+    """Runtime bring-up BEFORE first backend use. --jax_platform forces
+    a backend (env vars are too late on images whose sitecustomize pins
+    one at interpreter start); --distributed is the torchrun
+    replacement — run the same CLI once per host (on Cloud TPU pods the
+    coordinator/count/rank resolve from pod metadata; elsewhere pass
+    --coordinator/--num_processes/--process_id). Decided from cfg
+    alone: touching jax.process_count() here would initialize the
+    backend and make jax.distributed.initialize impossible."""
+    m = cfg.mesh
+    if getattr(m, "jax_platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", m.jax_platform)
+    if not getattr(m, "distributed", False):
+        return
+    from lr2ppo_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(
+        coordinator=m.coordinator or None,
+        num_processes=m.num_processes or None,
+        process_id=m.process_id if m.process_id >= 0 else None)
+
+
 def pod_shard():
     """Process-local input sharding on a multi-host pod: each controller
     loads and uploads only its slice of every global batch

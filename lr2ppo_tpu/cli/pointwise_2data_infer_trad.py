@@ -8,7 +8,7 @@ from __future__ import annotations
 import dataclasses
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import force_family
+from lr2ppo_tpu.cli._common import force_family, maybe_init_distributed
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.pointwise import project_tsv
 
@@ -27,6 +27,7 @@ def _dims_from_params(params: dict) -> list:
 
 def main(argv=None) -> None:
     cfg = parse_config(argv, "lr2ppo-tpu 2-data projection exporter")
+    maybe_init_distributed(cfg)
     cfg = force_family(cfg, "tabular")
     params = checkpoints.load_any(cfg.pretrained_model_path)
     dims = _dims_from_params(params)

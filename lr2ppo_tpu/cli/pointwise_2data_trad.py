@@ -12,14 +12,18 @@ from __future__ import annotations
 import dataclasses
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import (force_family, letor_eval_loader,
-                                    letor_queries, pod_shard)
+from lr2ppo_tpu.cli._common import (force_family,
+                                    letor_eval_loader,
+                                    letor_queries,
+                                    maybe_init_distributed,
+                                    pod_shard)
 from lr2ppo_tpu.data import Loader, LTRPointwiseDataset
 from lr2ppo_tpu.train.pointwise import TwoDataTrainer
 
 
 def main(argv=None) -> float:
     cfg = parse_config(argv, "lr2ppo-tpu 2-data unification (tabular)")
+    maybe_init_distributed(cfg)
     cfg = force_family(cfg, "tabular")
     qa = letor_queries(cfg.data.train_path)
     qb = letor_queries(cfg.data.train_path2)

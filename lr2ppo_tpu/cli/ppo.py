@@ -7,12 +7,15 @@ The reference rebuilds the trainset each epoch for fresh pair sampling
 from __future__ import annotations
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import movienet_eval_loader, movienet_train_loader
+from lr2ppo_tpu.cli._common import (maybe_init_distributed,
+                                    movienet_eval_loader,
+                                    movienet_train_loader)
 from lr2ppo_tpu.train.ppo import PPOTrainer
 
 
 def main(argv=None) -> float:
     cfg = parse_config(argv, "lr2ppo-tpu stage-3 LR2PPO (multimodal)")
+    maybe_init_distributed(cfg)
 
     # ONE loader for the whole run: fresh per-epoch pair sampling comes
     # from the trainer's loader.set_epoch(n) (the pair is drawn from the

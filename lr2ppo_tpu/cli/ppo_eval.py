@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import movienet_eval_loader
+from lr2ppo_tpu.cli._common import maybe_init_distributed, movienet_eval_loader
 from lr2ppo_tpu.models import ScoreModel
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.evaluate import evaluate_cases, format_ndcg
@@ -16,6 +16,7 @@ from lr2ppo_tpu.utils import init_logger
 
 def main(argv=None):
     cfg = parse_config(argv, "lr2ppo-tpu PPO evaluator (multimodal)")
+    maybe_init_distributed(cfg)
     logger = init_logger(cfg.log_path)
     tree = checkpoints.load_any(cfg.pretrained_model_path,
                                 kind="actor_critic")

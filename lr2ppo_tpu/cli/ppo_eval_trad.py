@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from lr2ppo_tpu.config import parse_config
-from lr2ppo_tpu.cli._common import force_family, letor_eval_loader
+from lr2ppo_tpu.cli._common import force_family, letor_eval_loader, maybe_init_distributed
 from lr2ppo_tpu.data import LTRPPODataset
 from lr2ppo_tpu.models import ScoreModel
 from lr2ppo_tpu.train import checkpoints
@@ -16,6 +16,7 @@ from lr2ppo_tpu.utils import init_logger
 
 def main(argv=None):
     cfg = parse_config(argv, "lr2ppo-tpu PPO evaluator (tabular)")
+    maybe_init_distributed(cfg)
     cfg = force_family(cfg, "tabular")
     logger = init_logger(cfg.log_path)
     tree = checkpoints.load_any(cfg.pretrained_model_path,

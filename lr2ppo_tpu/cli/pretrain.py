@@ -210,7 +210,29 @@ def main(argv=None):
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
                         "dropout site (ops/hash_dropout.py)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host pod: run this CLI once per host "
+                        "(torchrun replacement); coordinator/count/rank "
+                        "resolve from TPU metadata unless given")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--jax_platform", default=None,
+                   help="force a jax backend before first use (env "
+                        "vars are too late under sitecustomize pins)")
     args = p.parse_args(argv)
+
+    if args.jax_platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.jax_platform)
+    if args.distributed:
+        # BEFORE first backend use (jax.distributed.initialize)
+        from lr2ppo_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(coordinator=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
 
     if args.tokenizer == "bpe":
         tok = str2tokenizer["bpe"](args.vocab_path, args.merges_path)

@@ -184,6 +184,18 @@ class MeshConfig:
     tp: int = 1
     compute_dtype: str = "float32"   # 'bfloat16' for the fast path
     param_dtype: str = "float32"
+    # Multi-host launch (the torchrun replacement, misc.py:77-91): run
+    # the SAME CLI once per host with --distributed. On Cloud TPU pods
+    # the coordinator/count/id resolve from the TPU metadata
+    # automatically; elsewhere pass all three explicitly.
+    distributed: bool = False
+    coordinator: str = ""            # host:port of process 0
+    num_processes: int = 0           # total processes (0 = metadata)
+    process_id: int = -1             # this process's rank (-1 = metadata)
+    # force a jax backend ('cpu', 'tpu', ...) BEFORE first backend use —
+    # env vars alone are too late on images whose sitecustomize pins a
+    # platform at interpreter start
+    jax_platform: str = ""
 
 
 # Named configuration profiles (one flag from any CLI / one JSON key).
@@ -359,6 +371,11 @@ _FLAG_ROUTES = {
     "dp": ("mesh", "dp"),
     "tp": ("mesh", "tp"),
     "compute_dtype": ("mesh", "compute_dtype"),
+    "distributed": ("mesh", "distributed"),
+    "jax_platform": ("mesh", "jax_platform"),
+    "coordinator": ("mesh", "coordinator"),
+    "num_processes": ("mesh", "num_processes"),
+    "process_id": ("mesh", "process_id"),
 }
 
 # fields whose default is None need an explicit CLI type

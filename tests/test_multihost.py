@@ -324,3 +324,58 @@ def test_two_process_pretrain_accum_training(tmp_path):
 
 def test_two_process_ppo_training(tmp_path):
     _check_pod_matches_oracle(_PPO_CHILD, tmp_path, "ppo")
+
+
+def test_cli_distributed_launch(tmp_path):
+    """The torchrun replacement end-to-end: the SAME CLI command runs
+    once per 'host' with --distributed/--coordinator/--num_processes/
+    --process_id and trains as one pod (cli/_common.py:
+    maybe_init_distributed). Uses the tabular pointwise stage (smallest
+    model)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_letor_groups
+    from lr2ppo_tpu.data.letor import save_grouped_h5
+
+    groups = make_letor_groups(n_queries=8, docs=6, n_feat=16, seed=2)
+    h5 = str(tmp_path / "train.h5")
+    save_grouped_h5(groups, h5)
+    env = _cpu_env()
+    outs_paths = [str(tmp_path / f"cli_{i}.ckpt") for i in range(2)]
+
+    def argv(i, port):
+        return ["-m", "lr2ppo_tpu.cli.pointwise_trad",
+                "--jax_platform", "cpu",     # sitecustomize pins axon
+                "--distributed", "true",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", "2", "--process_id", str(i),
+                "--train_path", h5, "--dev_path", h5,
+                "--feat_size", "16", "--visual_feat_dim", "16",
+                "--epochs_num", "1", "--batch_size", "4",
+                "--report_steps", "1000000",
+                "--output_model_path", outs_paths[i]]
+
+    for attempt in range(3):
+        port = _free_port()
+        procs = [subprocess.Popen([sys.executable, *argv(i, port)],
+                                  env=env, cwd=_REPO,
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+                 for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                out = "TIMEOUT"
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+    # rank-0-gated saves: only process 0 wrote its best checkpoint
+    assert os.path.exists(outs_paths[0])
+    assert not os.path.exists(outs_paths[1])
