@@ -33,15 +33,11 @@ def maybe_init_distributed(cfg: Config) -> None:
     alone: touching jax.process_count() here would initialize the
     backend and make jax.distributed.initialize impossible."""
     m = cfg.mesh
-    if getattr(m, "jax_platform", ""):
-        import jax
+    from lr2ppo_tpu.parallel.mesh import init_runtime
 
-        jax.config.update("jax_platforms", m.jax_platform)
-    if not getattr(m, "distributed", False):
-        return
-    from lr2ppo_tpu.parallel.mesh import initialize_distributed
-
-    initialize_distributed(
+    init_runtime(
+        jax_platform=getattr(m, "jax_platform", ""),
+        distributed=getattr(m, "distributed", False),
         coordinator=m.coordinator or None,
         num_processes=m.num_processes or None,
         process_id=m.process_id if m.process_id >= 0 else None)

@@ -210,29 +210,31 @@ def main(argv=None):
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
                         "dropout site (ops/hash_dropout.py)")
-    p.add_argument("--distributed", action="store_true",
+    from lr2ppo_tpu.config import _parse_bool
+
+    # same syntax as every config-based CLI: bare `--distributed` or
+    # `--distributed true|false`
+    p.add_argument("--distributed", type=_parse_bool, nargs="?",
+                   const=True, default=False,
                    help="multi-host pod: run this CLI once per host "
                         "(torchrun replacement); coordinator/count/rank "
                         "resolve from TPU metadata unless given")
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
-    p.add_argument("--jax_platform", default=None,
+    p.add_argument("--jax_platform", default="",
                    help="force a jax backend before first use (env "
                         "vars are too late under sitecustomize pins)")
     args = p.parse_args(argv)
 
-    if args.jax_platform:
-        import jax
+    # BEFORE first backend use
+    from lr2ppo_tpu.parallel.mesh import init_runtime
 
-        jax.config.update("jax_platforms", args.jax_platform)
-    if args.distributed:
-        # BEFORE first backend use (jax.distributed.initialize)
-        from lr2ppo_tpu.parallel.mesh import initialize_distributed
-
-        initialize_distributed(coordinator=args.coordinator,
-                               num_processes=args.num_processes,
-                               process_id=args.process_id)
+    init_runtime(jax_platform=args.jax_platform,
+                 distributed=args.distributed,
+                 coordinator=args.coordinator,
+                 num_processes=args.num_processes,
+                 process_id=args.process_id)
 
     if args.tokenizer == "bpe":
         tok = str2tokenizer["bpe"](args.vocab_path, args.merges_path)

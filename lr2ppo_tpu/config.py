@@ -396,14 +396,20 @@ def build_parser(description: str = "lr2ppo-tpu") -> argparse.ArgumentParser:
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     d = Config()
+
+    def add(flag, default, argtype):
+        # bools also accept the bare-switch form (`--distributed` ==
+        # `--distributed true`), matching torchrun-style launch lines
+        extra = ({"nargs": "?", "const": True}
+                 if isinstance(default, bool) else {})
+        p.add_argument(f"--{flag}", type=argtype, default=None, **extra)
+
     for name in _TOP_FLAGS:
         default = getattr(d, name)
-        p.add_argument(f"--{name}", type=_argtype(default), default=None)
+        add(name, default, _argtype(default))
     for flag, (sub, fieldname) in _FLAG_ROUTES.items():
         default = getattr(getattr(d, sub), fieldname)
-        p.add_argument(f"--{flag}",
-                       type=_FLAG_TYPES.get(flag, _argtype(default)),
-                       default=None)
+        add(flag, default, _FLAG_TYPES.get(flag, _argtype(default)))
     # accepted-for-compat flags from the reference scripts (ignored).
     # --use_pairwise is dead in the reference too: every driver parses it
     # (e.g. pointwise.py:461) but no code ever reads args.use_pairwise.
@@ -415,9 +421,20 @@ def build_parser(description: str = "lr2ppo-tpu") -> argparse.ArgumentParser:
     return p
 
 
+def _parse_bool(s: str) -> bool:
+    v = s.lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    # reject silently-False typos: '--distributed ture' must fail fast,
+    # not strand the other pod ranks in rendezvous
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def _argtype(default):
     if isinstance(default, bool):
-        return lambda s: s.lower() in ("1", "true", "yes")
+        return _parse_bool
     if isinstance(default, int):
         return int
     if isinstance(default, float):

@@ -25,6 +25,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_runtime(jax_platform: str = "", distributed: bool = False,
+                 coordinator: Optional[str] = None,
+                 num_processes: Optional[int] = None,
+                 process_id: Optional[int] = None) -> None:
+    """Process bring-up BEFORE first backend use, shared by every CLI:
+    optionally force a jax backend (env vars are too late on images
+    whose sitecustomize pins one at interpreter start), then optionally
+    join a multi-host pod (the torchrun replacement; on Cloud TPU pods
+    the coordinator/count/rank resolve from pod metadata when None)."""
+    if jax_platform:
+        jax.config.update("jax_platforms", jax_platform)
+    if distributed:
+        initialize_distributed(coordinator=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:

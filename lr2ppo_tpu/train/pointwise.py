@@ -285,6 +285,10 @@ def project_tsv(cfg: Config, params, input_path: str, output_path: str,
             out = np.asarray(proj(jnp.asarray(chunk)))
         outs.append(out)
     projected = np.concatenate(outs, axis=0)
+    if jax.process_index() != 0:
+        # pod: every rank computed the identical (replicated) projection;
+        # concurrent writes of one tsv on shared storage interleave
+        return
     os.makedirs(os.path.dirname(os.path.abspath(output_path)) or ".",
                 exist_ok=True)
     np.savetxt(output_path, np.concatenate([head, projected], axis=1),

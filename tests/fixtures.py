@@ -70,3 +70,17 @@ def make_svmlight(path, n_rows=30, n_feat=8, n_qids=3, seed=0):
                 f"{j+1}:{rng.randn():.4f}" for j in range(n_feat))
             f.write(f"{label} qid:{qid} {feats}\n")
     return path
+
+
+def flatten_tree(tree, prefix=""):
+    """Flatten a nested dict of arrays to {path: np.ndarray} for
+    param-tree comparisons across processes/meshes."""
+    import numpy as np
+
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, prefix + "/" + str(k)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out

@@ -219,8 +219,11 @@ def _free_port() -> int:
 
 
 def _spawn(script, argv_per_proc, env, timeout=240):
+    """Launch one python per argv; `script` is inlined via -c, or pass
+    script=None with full argv tails (e.g. ['-m', 'lr2ppo_tpu.cli...'])."""
+    prefix = [] if script is None else ["-c", script]
     procs = [
-        subprocess.Popen([sys.executable, "-c", script, *argv],
+        subprocess.Popen([sys.executable, *prefix, *argv],
                          env=env, cwd=_REPO, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True)
         for argv in argv_per_proc
@@ -257,14 +260,7 @@ def test_two_process_distributed_initialize():
         assert "OK total=3.0" in out
 
 
-def _flatten(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(v, prefix + "/" + str(k)))
-    else:
-        out[prefix] = np.asarray(tree)
-    return out
+from fixtures import flatten_tree as _flatten  # noqa: E402
 
 
 def _check_pod_matches_oracle(child, tmp_path, stem):
@@ -358,20 +354,11 @@ def test_cli_distributed_launch(tmp_path):
 
     for attempt in range(3):
         port = _free_port()
-        procs = [subprocess.Popen([sys.executable, *argv(i, port)],
-                                  env=env, cwd=_REPO,
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.STDOUT, text=True)
-                 for i in range(2)]
-        outs = []
-        for p in procs:
-            try:
-                out, _ = p.communicate(timeout=420)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                out = "TIMEOUT"
-            outs.append(out)
+        try:
+            procs, outs = _spawn(None, [argv(i, port) for i in range(2)],
+                                 env, timeout=420)
+        except subprocess.TimeoutExpired:
+            continue                      # hung rendezvous: fresh port
         if all(p.returncode == 0 for p in procs):
             break
     for i, (p, out) in enumerate(zip(procs, outs)):

@@ -55,14 +55,7 @@ def _train(dp: int, tp: int):
     return host, float(best)
 
 
-def _flat(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flat(v, prefix + "/" + str(k)))
-    else:
-        out[prefix] = np.asarray(tree)
-    return out
+from fixtures import flatten_tree as _flat  # noqa: E402
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
