@@ -328,6 +328,27 @@ def run_e2e(bs: int = 256, batches: int = 30) -> dict:
     }
 
 
+def _probe_device(timeout_s: int = 180) -> None:
+    """Fail FAST with a clear message when the TPU backend is
+    unreachable (the axon tunnel can go down entirely: jax.devices()
+    then hangs indefinitely) — a bounded subprocess probe instead of a
+    multi-hour silent hang at the first device op."""
+    import subprocess
+
+    code = "import jax; print('DEVOK', jax.devices()[0].platform)"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"device backend unreachable: jax.devices() did not answer "
+            f"within {timeout_s}s (TPU tunnel down?)") from None
+    if "DEVOK" not in proc.stdout:
+        raise RuntimeError(
+            f"device backend failed to initialize:\n{proc.stderr[-800:]}")
+
+
 def main() -> None:
     # Each batch size runs in its own subprocess: a failed (OOM) attempt
     # can leave HBM allocated in-process through the TPU tunnel, which
@@ -335,6 +356,7 @@ def main() -> None:
     # reliable reset.
     import subprocess
 
+    _probe_device()
     value = None
     sizes = tuple(int(s) for s in os.environ.get(
         "LR2PPO_BENCH_SIZES", "256,128,64,32").split(","))
