@@ -328,25 +328,45 @@ def run_e2e(bs: int = 256, batches: int = 30) -> dict:
     }
 
 
-def _probe_device(timeout_s: int = 180) -> None:
-    """Fail FAST with a clear message when the TPU backend is
-    unreachable (the axon tunnel can go down entirely: jax.devices()
-    then hangs indefinitely) — a bounded subprocess probe instead of a
-    multi-hour silent hang at the first device op."""
+def _probe_device(timeout_s: int = 150, attempts: int = 3,
+                  retry_wait_s: int = 90) -> None:
+    """Fail with a clear message when the TPU backend is unreachable
+    (the axon tunnel can go down entirely: jax.devices() then hangs
+    indefinitely) — bounded subprocess probes instead of a multi-hour
+    silent hang at the first device op.
+
+    The tunnel also *flaps*: round 3 lost its entire perf artifact to a
+    single 180 s probe. Retry a few times over a ~10 min window before
+    giving up, and on final failure raise with the outage named so
+    main() can emit a machine-readable JSON line instead of a bare
+    traceback.
+    """
     import subprocess
+    import time
 
     code = "import jax; print('DEVOK', jax.devices()[0].platform)"
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        raise RuntimeError(
-            f"device backend unreachable: jax.devices() did not answer "
-            f"within {timeout_s}s (TPU tunnel down?)") from None
-    if "DEVOK" not in proc.stdout:
-        raise RuntimeError(
-            f"device backend failed to initialize:\n{proc.stderr[-800:]}")
+    last = ""
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(retry_wait_s)
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = (f"jax.devices() did not answer within {timeout_s}s "
+                    f"(TPU tunnel down?)")
+            print(f"device probe {attempt + 1}/{attempts}: {last}",
+                  file=sys.stderr)
+            continue
+        if "DEVOK" in proc.stdout:
+            return
+        last = f"backend init failed:\n{proc.stderr[-800:]}"
+        print(f"device probe {attempt + 1}/{attempts}: {last}",
+              file=sys.stderr)
+    raise RuntimeError(
+        f"device backend unreachable after {attempts} probes "
+        f"({timeout_s}s each, {retry_wait_s}s apart): {last}")
 
 
 def main() -> None:
@@ -356,7 +376,23 @@ def main() -> None:
     # reliable reset.
     import subprocess
 
-    _probe_device()
+    try:
+        _probe_device()
+    except RuntimeError as e:
+        # Environment outage, not a code failure: emit a parseable JSON
+        # line naming the outage + the last driver-captured good number
+        # (BENCH_r02.json) so the round still ships a partial artifact.
+        print(json.dumps({
+            "metric": "lr2ppo_train_throughput",
+            "value": None,
+            "unit": "samples/s",
+            "vs_baseline": None,
+            "error": str(e),
+            "last_good": {"round": "r02", "value": 1000.88,
+                          "vs_baseline": 5.205},
+        }))
+        print(f"bench aborted: {e}", file=sys.stderr)
+        sys.exit(1)
     value = None
     sizes = tuple(int(s) for s in os.environ.get(
         "LR2PPO_BENCH_SIZES", "256,128,64,32").split(","))
