@@ -224,8 +224,9 @@ def put_global(x, mesh: Mesh, axis: int = 0, from_full_copy: bool = False):
         rank, world = jax.process_index(), jax.process_count()
         if x.shape[axis] % world:
             raise ValueError(
-                f"global batch axis {axis} ({x.shape[axis]}) must divide "
-                f"the process count ({world}) to shard a full copy")
+                f"global batch axis {axis} ({x.shape[axis]}) must be "
+                f"divisible by the process count ({world}) to shard a "
+                f"full copy")
         per = x.shape[axis] // world
         x = np.take(x, np.arange(rank * per, (rank + 1) * per), axis=axis)
     return jax.make_array_from_process_local_data(sh, x)

@@ -173,6 +173,18 @@ def resume_fit_state(cfg, ctx, tx, steps_per_epoch: int, logger=None,
     return state, step, start_epoch, skip_batches, resume_best
 
 
+def burn_keys(key, n: int):
+    """Advance the per-step dropout key stream past `n` skipped steps so
+    a resumed run's keys continue exactly where an uninterrupted run
+    would be (ADVICE r3: fast-forwarding data without fast-forwarding
+    the key stream replayed step-1 dropout noise after every resume)."""
+    import jax
+
+    for _ in range(int(n)):
+        key, _ = jax.random.split(key)
+    return key
+
+
 def peek_batch(loader):
     """First batch for shape probing / param init. Prefers the loader's
     synchronous first_batch() — abandoning a started prefetch iterator

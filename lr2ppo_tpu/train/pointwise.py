@@ -30,6 +30,7 @@ from lr2ppo_tpu.train.common import (
     DeviceCtx,
     TrainState,
     apply_updates,
+    burn_keys,
     init_state,
     peek_batch,
     resume_fit_state,
@@ -118,6 +119,9 @@ class PointwiseTrainer:
             it = iter(train_loader)
             if epoch == start_epoch and skip_batches:
                 it = islice(it, skip_batches, None)
+                # keep the dropout key stream aligned with an
+                # uninterrupted run (ADVICE r3)
+                key = burn_keys(key, skip_batches)
             for batch in it:
                 b = self.ctx.put(batch)
                 key, sub = jax.random.split(key)
@@ -225,6 +229,8 @@ class TwoDataTrainer(PointwiseTrainer):
                         continue
                     if skip > 0:       # fast-forward the alternating stream
                         skip -= 1
+                        key = burn_keys(key, 1)  # keep the key stream
+                        #   aligned with an uninterrupted run (ADVICE r3)
                         continue
                     b = self.ctx.put(batch)
                     key, sub = jax.random.split(key)

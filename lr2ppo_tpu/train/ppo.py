@@ -43,8 +43,8 @@ from lr2ppo_tpu.ops import (
 )
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.common import (
-    BestSaver, DeviceCtx, TrainState, apply_updates, init_state,
-    peek_batch)
+    BestSaver, DeviceCtx, TrainState, apply_updates, burn_keys,
+    init_state, peek_batch)
 from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
@@ -244,10 +244,21 @@ class PPOTrainer:
         """make_train_loader(epoch) -> Loader (trainset is rebuilt per
         epoch for fresh pair sampling, ppo.py:816)."""
         cfg = self.cfg
+        upd = cfg.ppo.update_timesteps
+        if cfg.ppo.use_gae and upd % max(cfg.ppo.max_timesteps, 1) != 0:
+            # GAE bootstraps V=0 at the sweep-window edge; when the
+            # window cuts a trajectory mid-way that zero bootstrap would
+            # bias the tail advantages (the next timestep's value is not
+            # yet rolled out, so it cannot be bootstrapped correctly) —
+            # require aligned windows instead (ADVICE r3)
+            raise ValueError(
+                f"ppo.use_gae requires update_timesteps ({upd}) to be a "
+                f"multiple of max_timesteps ({cfg.ppo.max_timesteps}): a "
+                f"sweep window that cuts a trajectory mid-way would "
+                f"bootstrap GAE with V=0 inside the trajectory")
         loader0 = make_train_loader(1)
         steps_per_epoch = len(loader0)
         total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
-        upd = cfg.ppo.update_timesteps
 
         # schedulers tick once per sweep (ppo.py:612-613): remap the
         # optimizer-step axis to sweeps inside the shared builder
@@ -318,6 +329,9 @@ class PPOTrainer:
         saver = BestSaver(cfg.output_model_path, self.logger)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 2)
+        # one split per completed sweep: keep the dropout key stream
+        # aligned with an uninterrupted run after resume (ADVICE r3)
+        key = burn_keys(key, step)
         def _save_state(astate, cstate, step, time_ctr, best):
             checkpoints.save_checkpoint(
                 cfg.output_model_path + ".state",

@@ -23,8 +23,8 @@ from lr2ppo_tpu.config import Config
 from lr2ppo_tpu.towers.model import TowerConfig, TowerModel
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.common import (
-    BestSaver, DeviceCtx, TrainState, apply_updates, init_state,
-    peek_batch)
+    BestSaver, DeviceCtx, TrainState, apply_updates, burn_keys,
+    init_state, peek_batch)
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
 
@@ -222,6 +222,9 @@ class PretrainTrainer:
                 from itertools import islice
 
                 batch_iter = islice(batch_iter, skip_batches, None)
+                # keep the dropout key stream aligned with an
+                # uninterrupted run (ADVICE r3)
+                key = burn_keys(key, skip_batches)
             for batch in batch_iter:
                 folded = self._fold(batch)
                 key, sub = jax.random.split(key)

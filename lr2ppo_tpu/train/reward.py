@@ -21,8 +21,8 @@ from lr2ppo_tpu.models import SeqScoreModel
 from lr2ppo_tpu.ops import reward_pair_hinge_loss
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.common import (
-    BestSaver, DeviceCtx, TrainState, apply_updates, init_state,
-    peek_batch)
+    BestSaver, DeviceCtx, TrainState, apply_updates, burn_keys,
+    init_state, peek_batch)
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, init_logger
 
@@ -127,6 +127,9 @@ class RewardTrainer:
                 from itertools import islice
 
                 batch_iter = islice(batch_iter, skip_batches, None)
+                # keep the dropout key stream aligned with an
+                # uninterrupted run (ADVICE r3)
+                key = burn_keys(key, skip_batches)
             for batch in batch_iter:
                 b = self.ctx.put(batch)
                 key, sub = jax.random.split(key)

@@ -70,6 +70,20 @@ def test_gae_matches_reference_recursion():
                                atol=1e-6)
 
 
+def test_gae_rejects_misaligned_sweep_window(tmp_path):
+    """use_gae + a sweep window that cuts trajectories mid-way would
+    bootstrap V=0 inside a trajectory — must be rejected up front
+    (ADVICE r3)."""
+    from test_trainers import tiny_config
+    from lr2ppo_tpu.train.ppo import PPOTrainer
+
+    cfg = tiny_config(tmp_path, epochs_num=1)
+    cfg = cfg.replace(ppo=dataclasses.replace(
+        cfg.ppo, update_timesteps=3, max_timesteps=2, use_gae=True))
+    with pytest.raises(ValueError, match="multiple of max_timesteps"):
+        PPOTrainer(cfg).fit(lambda e: None, None)
+
+
 def test_improved_ppo_trains_end_to_end(tmp_path):
     """GAE(mt=2 trajectories) + surrogate clip through the real trainer."""
     from fixtures import make_movienet
@@ -80,7 +94,7 @@ def test_improved_ppo_trains_end_to_end(tmp_path):
     jp, hp = make_movienet(tmp_path / "d", n_items=6)
     cfg = tiny_config(tmp_path, epochs_num=1)
     cfg = cfg.replace(ppo=dataclasses.replace(
-        cfg.ppo, update_timesteps=3, max_timesteps=2, use_gae=True,
+        cfg.ppo, update_timesteps=4, max_timesteps=2, use_gae=True,
         surrogate_clip=True, eps_clip=0.2))
     cfg.data.max_tags = 4
 
