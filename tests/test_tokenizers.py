@@ -119,37 +119,60 @@ class TestSentencePieceUnigram:
     """Pure-Python Unigram backend (VERDICT r2 #9): the XLM-R path must
     run self-contained — no sentencepiece package, no shipped assets."""
 
-    PIECES = [("<unk>", 0.0), ("<s>", 0.0), ("</s>", 0.0),
+    # (piece, score, type): 2=UNKNOWN, 3=CONTROL — the real XLM-R model
+    # marks its specials so they never enter Viterbi segmentation
+    PIECES = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
               ("▁hello", -1.0), ("▁world", -1.2),
               ("▁hel", -3.0), ("lo", -3.5), ("▁", -4.0),
               ("h", -6.0), ("e", -6.0), ("l", -6.0), ("o", -6.0),
-              ("w", -6.0), ("r", -6.0), ("d", -6.0)]
+              ("w", -6.0), ("r", -6.0), ("d", -6.0),
+              ("s", -6.0), ("<", -6.5), (">", -6.5)]
 
-    def _spm_bytes(self):
-        """Serialize PIECES as a real sentencepiece ModelProto (pieces =
-        repeated field 1 of {piece: field 1 string, score: field 2
-        float32}) so the wire-format parser is tested against the actual
-        encoding."""
+    @staticmethod
+    def _varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def _spm_bytes(self, pieces=None, normalizer=None):
+        """Serialize pieces as a real sentencepiece ModelProto (pieces =
+        repeated field 1 of {piece: 1 (string), score: 2 (float32),
+        type: 3 (varint)}; normalizer_spec = field 3 of {name: 1,
+        add_dummy_prefix: 3, remove_extra_whitespaces: 4,
+        escape_whitespaces: 5}) so the wire-format parser is tested
+        against the actual encoding."""
         import struct
 
-        def varint(v):
-            out = b""
-            while True:
-                b7 = v & 0x7F
-                v >>= 7
-                out += bytes([b7 | (0x80 if v else 0)])
-                if not v:
-                    return out
-
+        varint = self._varint
         blob = b""
-        for piece, score in self.PIECES:
+        for entry in (pieces if pieces is not None else self.PIECES):
+            piece, score, ptype = entry if len(entry) == 3 else (*entry, 1)
             pb = piece.encode("utf-8")
             sub = (b"\x0a" + varint(len(pb)) + pb            # field 1, wire 2
                    + b"\x15" + struct.pack("<f", score))     # field 2, wire 5
+            if ptype != 1:
+                sub += b"\x18" + varint(ptype)               # field 3, wire 0
             blob += b"\x0a" + varint(len(sub)) + sub         # ModelProto.pieces
         # trailing unrelated field (trainer_spec, field 2 wire 2): must be
         # skipped cleanly
         blob += b"\x12\x02\x08\x01"
+        if normalizer is not None:
+            nb = b""
+            name = normalizer.get("name")
+            if name is not None:
+                nbb = name.encode("utf-8")
+                nb += b"\x0a" + varint(len(nbb)) + nbb       # name = 1
+            for num, key in ((3, "add_dummy_prefix"),
+                             (4, "remove_extra_whitespaces"),
+                             (5, "escape_whitespaces")):
+                if key in normalizer:
+                    nb += (bytes([num << 3])
+                           + varint(int(normalizer[key])))
+            blob += b"\x1a" + varint(len(nb)) + nb           # spec = 3
         return blob
 
     def test_viterbi_prefers_whole_words(self):
@@ -186,12 +209,106 @@ class TestSentencePieceUnigram:
 
         # plain vocab path
         vp = tmp_path / "vocab.txt"
-        vp.write_text("".join(f"{p}\t{s}\n" for p, s in self.PIECES),
+        vp.write_text("".join(f"{e[0]}\t{e[1]}\n" for e in self.PIECES),
                       encoding="utf-8")
         tok2 = XLMRobertaTokenizer(vocab_path=str(vp))
         assert tok2.backend == "unigram"
         assert tok2.tokenize("hello world") == toks
         assert tok2.convert_tokens_to_ids(toks) == ids
+
+    def test_control_pieces_not_segmentable(self):
+        """ADVICE r3: literal '<s>' text in the input must NOT segment
+        to the control-token id (real spm excludes non-NORMAL pieces
+        from the Viterbi vocabulary; ids stay addressable)."""
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        uni = SentencePieceUnigram(self.PIECES)
+        assert uni.vocab["<s>"] == 1          # id preserved
+        toks = uni.encode("<s> hello")
+        assert "<s>" not in toks              # chars, not the control id
+        assert "▁hello" in toks
+
+    def test_normalization_essentials(self):
+        """VERDICT r3 #4: NFKC + whitespace handling must match real
+        sentencepiece's nmt_nfkc on the cases the reference hits."""
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        uni = SentencePieceUnigram(self.PIECES)
+        base = uni.encode("hello world")
+        # repeated/exotic whitespace collapses (U+3000 ideographic space,
+        # tabs, newlines, leading/trailing)
+        assert uni.encode("  hello 　\t\n world  ") == base
+        # NFKC compatibility folding: fullwidth latin -> ascii
+        assert uni.encode("ｈｅｌｌｏ　ｗｏｒｌｄ") == base
+        # NFC vs decomposed input converge to the same segmentation
+        assert (uni.encode("he\u0301llo")     # e+combining acute
+                == uni.encode("h\u00e9llo"))  # composed é
+        # zero-width junk is dropped by the nmt rules
+        assert uni.encode("hel\u200blo\u200d world\ufeff") == base
+
+    def test_normalizer_spec_parsed_and_applied(self, tmp_path):
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        p = tmp_path / "nodummy.model"
+        p.write_bytes(self._spm_bytes(normalizer={
+            "name": "nmt_nfkc", "add_dummy_prefix": False,
+            "remove_extra_whitespaces": False}))
+        uni = SentencePieceUnigram.from_model_proto(str(p))
+        assert uni.normalizer["add_dummy_prefix"] is False
+        assert uni.normalizer["remove_extra_whitespaces"] is False
+        assert uni.normalizer["name"] == "nmt_nfkc"
+        toks = uni.encode("hello world")
+        assert toks[0] != "▁hello"            # no dummy prefix
+        assert "▁world" in toks
+        # identity normalizer skips NFKC: fullwidth stays unknown chars
+        p2 = tmp_path / "ident.model"
+        p2.write_bytes(self._spm_bytes(normalizer={"name": "identity"}))
+        uni2 = SentencePieceUnigram.from_model_proto(str(p2))
+        assert "▁hello" not in uni2.encode("ｈｅｌｌｏ")
+
+    def test_byte_fallback_pieces(self):
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        pieces = ([("<unk>", 0.0, 2), ("▁hi", -1.0), ("▁", -2.0)]
+                  + [(f"<0x{b:02X}>", -8.0, 6) for b in range(256)])
+        uni = SentencePieceUnigram(pieces)
+        assert len(uni.byte_pieces) == 256
+        # '©' (U+00A9) is not in the vocab: its UTF-8 bytes C2 A9 come
+        # out as BYTE pieces instead of an unknown-char token
+        assert uni.encode("hi ©") == ["▁hi", "▁", "<0xC2>", "<0xA9>"]
+        # multi-byte CJK falls back to 3 bytes per char
+        toks = uni.encode("hi 漢")
+        assert toks[:2] == ["▁hi", "▁"]
+        assert toks[2:] == ["<0xE6>", "<0xBC>", "<0xA2>"]
+        # ids resolve through the ordinary vocab
+        assert all(t in uni.vocab for t in toks)
+
+    def test_matches_real_sentencepiece_when_available(self, tmp_path):
+        """Token-for-token parity with the actual spm runtime (runs
+        wherever the sentencepiece package exists; this image ships
+        without it, so the self-contained goldens above carry the
+        coverage here)."""
+        spm = pytest.importorskip("sentencepiece")
+
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_text(
+            "\n".join(["hello world", "hello there", "the world spins",
+                       "worlds collide", "say hello"] * 20),
+            encoding="utf-8")
+        spm.SentencePieceTrainer.Train(
+            input=str(corpus), model_prefix=str(tmp_path / "toy"),
+            vocab_size=60, model_type="unigram", byte_fallback=True,
+            character_coverage=1.0)
+        sp = spm.SentencePieceProcessor()
+        sp.Load(str(tmp_path / "toy.model"))
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        uni = SentencePieceUnigram.from_model_proto(
+            str(tmp_path / "toy.model"))
+        for text in ["hello world", "  hello 　 world  ",
+                     "ｈｅｌｌｏ ｗｏｒｌｄ", "héllo", "漢字 test",
+                     "hello\t\nworld", "<s> hello"]:
+            assert uni.encode(text) == sp.EncodeAsPieces(text), text
 
     def test_truncated_model_raises_value_error(self, tmp_path):
         """A cut-off .model must produce the parser's ValueError naming
