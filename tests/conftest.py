@@ -16,8 +16,35 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert len(jax.devices()) == 8, "expected 8 fake CPU devices for tests"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r3 #6). The default tier keeps every
+    unit/oracle-math test plus ONE pod smoke
+    (test_two_process_distributed_initialize) and must stay under ~6 min
+    on a 1-core host; the `heavy` tier holds the 85-95 s subprocess pod
+    proofs, the torch trajectory oracles, and the multi-minute
+    convergence legs (the legacy `slow` marker is gated the same way).
+
+    Selection: LR2PPO_HEAVY=1 runs everything (the verify skill sets it
+    before shipping); naming a heavy test directly on the command line
+    also runs it, so `pytest tests/test_multihost.py::test_x` still
+    works without the env var.
+    """
+    if os.environ.get("LR2PPO_HEAVY") == "1":
+        return
+    explicit = {a.split("::", 1)[1] for a in config.args if "::" in a}
+    skip = pytest.mark.skip(
+        reason="heavy tier: set LR2PPO_HEAVY=1 (verify skill runs it)")
+    for item in items:
+        if "heavy" in item.keywords or "slow" in item.keywords:
+            if any(item.name == e or item.name.startswith(e + "[")
+                   for e in explicit):
+                continue
+            item.add_marker(skip)

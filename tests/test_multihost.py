@@ -306,22 +306,27 @@ def _check_pod_matches_oracle(child, tmp_path, stem):
                                    atol=2e-5, err_msg=k)
 
 
+@pytest.mark.heavy
 def test_two_process_pointwise_training(tmp_path):
     _check_pod_matches_oracle(_TRAIN_CHILD, tmp_path, "params")
 
 
+@pytest.mark.heavy
 def test_two_process_reward_training(tmp_path):
     _check_pod_matches_oracle(_REWARD_CHILD, tmp_path, "reward")
 
 
+@pytest.mark.heavy
 def test_two_process_pretrain_accum_training(tmp_path):
     _check_pod_matches_oracle(_PRETRAIN_CHILD, tmp_path, "pretrain")
 
 
+@pytest.mark.heavy
 def test_two_process_ppo_training(tmp_path):
     _check_pod_matches_oracle(_PPO_CHILD, tmp_path, "ppo")
 
 
+@pytest.mark.heavy
 def test_cli_distributed_launch(tmp_path):
     """The torchrun replacement end-to-end: the SAME CLI command runs
     once per 'host' with --distributed/--coordinator/--num_processes/

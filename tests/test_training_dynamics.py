@@ -182,6 +182,7 @@ def _torch_seq_scorer(tags_for_pos: int = 4):
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+@pytest.mark.heavy
 def test_reward_training_trajectory_matches_reference():
     """Stage-2 dynamics oracle (VERDICT r2 #2a): the reference reward
     hinge step (finetune/reward_pair_dataloader.py:347-365 — dual
@@ -282,6 +283,7 @@ def test_reward_training_trajectory_matches_reference():
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+@pytest.mark.heavy
 def test_ppo_training_trajectory_matches_reference():
     """Stage-3 dynamics oracle (VERDICT r2 #2b): the ACTUAL reference
     update code — finetune/ppo.py:train_model imported and called
@@ -485,6 +487,7 @@ def test_ppo_training_trajectory_matches_reference():
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+@pytest.mark.heavy
 def test_pointwise_training_trajectory_matches_reference():
     import torch
 
