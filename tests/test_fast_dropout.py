@@ -1,5 +1,6 @@
 """Packed-bits dropout: statistics, scaling, determinism, gradients."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -48,6 +49,7 @@ def test_rate_zero_identity():
         np.asarray(x))
 
 
+@pytest.mark.heavy
 def test_xit_flag_trains():
     from lr2ppo_tpu.config import ModelConfig
     from lr2ppo_tpu.models import ScoreModel

@@ -76,6 +76,7 @@ def test_resume_continues_from_saved_state(tmp_path):
                 f"opt_state leaf {leaf.shape} sharding mismatch")
 
 
+@pytest.mark.heavy
 def test_resume_from_orbax_state(tmp_path):
     # a state saved with the orbax backend (directory) must also resume:
     # load_checkpoint raises, the trainer falls back to orbax and
@@ -105,6 +106,7 @@ def test_resume_from_orbax_state(tmp_path):
     assert np.isfinite(best2)
 
 
+@pytest.mark.heavy
 def test_ppo_resume_continues(tmp_path):
     from fixtures import make_movienet
     from lr2ppo_tpu.config import Config, ModelConfig
@@ -151,6 +153,7 @@ def test_ppo_resume_continues(tmp_path):
     assert np.isfinite(best2)
 
 
+@pytest.mark.heavy
 def test_reward_resume_continues(tmp_path):
     from fixtures import make_movienet
     from lr2ppo_tpu.config import Config, ModelConfig
@@ -191,6 +194,7 @@ def test_reward_resume_continues(tmp_path):
     assert np.isfinite(best2)
 
 
+@pytest.mark.heavy
 def test_two_data_resume_continues(tmp_path):
     """VERDICT r2 #8: fit_two now has save_state_steps / resume_path /
     check_finite like every other trainer. 2 domains x 4 queries / bs 4

@@ -1,5 +1,6 @@
 """Zero-residual hash dropout: statistics, determinism, custom_vjp."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -67,6 +68,7 @@ def test_bf16_dtype_preserved():
     assert out.dtype == jnp.bfloat16
 
 
+@pytest.mark.heavy
 def test_tower_flag_trains():
     # every tower dropout site (embedding, attention probs, layer drops,
     # decoder) routes through hash dropout when TowerConfig enables it

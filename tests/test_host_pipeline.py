@@ -114,6 +114,7 @@ def test_movienet_get_deterministic_per_epoch(tmp_path):
 
 @pytest.mark.parametrize("device_gb,reuse", [(100.0, False), (0.0, False),
                                              (100.0, True), (0.0, True)])
+@pytest.mark.heavy
 def test_ppo_memory_residency_paths(tmp_path, device_gb, reuse):
     # device_gb=100 -> device-resident memories; 0 -> host memories.
     # reuse=True: the loader recycles batch buffers, so the trainer must

@@ -84,6 +84,7 @@ def test_gae_rejects_misaligned_sweep_window(tmp_path):
         PPOTrainer(cfg).fit(lambda e: None, None)
 
 
+@pytest.mark.heavy
 def test_improved_ppo_trains_end_to_end(tmp_path):
     """GAE(mt=2 trajectories) + surrogate clip through the real trainer."""
     from fixtures import make_movienet

@@ -57,6 +57,7 @@ def test_int8_matmul_quantizes_float_kernel_on_the_fly():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_quantize_tree_structure_and_model_parity():
     mcfg = ModelConfig(feat_size=32, seq_length=6, max_imgs=2, num_heads=4,
                        drop_p=0.0, forward_drop_p=0.0)
@@ -114,6 +115,7 @@ def test_quantize_tree_structure_and_model_parity():
         assert (np.argsort(ref) == np.argsort(got)).all()
 
 
+@pytest.mark.heavy
 def test_xit_fused_ffn_matches_unfused(monkeypatch):
     """XiT with int8=True on the deterministic path routes its FFN
     through the fused Pallas kernel when the shapes qualify; the result
@@ -249,6 +251,7 @@ def test_narrow_compute_bound_site_routes_to_pallas(monkeypatch):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_production_size_gates(monkeypatch):
     """At PRODUCTION thresholds: small kernels stay float with no
     kernel_scale sibling (module and quantize_tree agree on the tree
@@ -287,6 +290,7 @@ def test_production_size_gates(monkeypatch):
     assert float(np.max(np.abs(got - ref))) < 0.01 * float(amax.max())
 
 
+@pytest.mark.heavy
 def test_ppo_trainer_builds_int8_reward():
     from lr2ppo_tpu.train.ppo import PPOTrainer
 

@@ -41,6 +41,7 @@ def test_corpus_packing(tmp_path):
     assert not np.array_equal(a["src"], b["src"])  # fresh masks per epoch
 
 
+@pytest.mark.heavy
 def test_pretrain_cli_e2e(tmp_path):
     from lr2ppo_tpu.cli import pretrain
 

@@ -68,6 +68,7 @@ def _wav(tmp_path, name="a.wav", seconds=0.2, rate=16000):
 # VQGAN tokenizer
 # ---------------------------------------------------------------------------
 
+@pytest.mark.heavy
 def test_vqgan_tokenize_deterministic_static():
     tok = ImageTokenizer(vqgan_config=TINY_VQ, seed=0)
     px = np.linspace(0, 1, 2 * 3 * 16 * 16, dtype=np.float32

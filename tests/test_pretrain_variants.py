@@ -47,6 +47,7 @@ def test_cls_dataset(tmp_path):
     assert item["seg"].sum() == 6  # cls + 4 tokens + sep
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("target,ds_kind", [("lm", "lm"), ("cls", "cls")])
 def test_tower_train_step_on_variant(tmp_path, target, ds_kind):
     tok = _vocab(tmp_path)

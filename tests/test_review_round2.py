@@ -11,6 +11,7 @@ from lr2ppo_tpu.data.movienet import MovieNetDataset
 from lr2ppo_tpu.data.pipeline import Loader, ProcessLoader
 
 
+@pytest.mark.heavy
 def test_ppo_sweep_mid_batch_timesteps(tmp_path):
     # max_timesteps=3 with update_timesteps=2: the sweep fires on a
     # batch's FIRST/SECOND timestep; the remaining timesteps must still
@@ -133,6 +134,7 @@ def test_read_wav_8bit_unsigned(tmp_path):
     assert np.corrcoef(x8, x16)[0, 1] > 0.999
 
 
+@pytest.mark.heavy
 def test_t5_sentinel_start_explicit_grows_vocab(tmp_path):
     # passing --sentinel_start explicitly (even past len(vocab), the
     # documented default) must still grow the embedding to cover the
@@ -490,6 +492,7 @@ def test_tower_params_get_tp_sharding():
     assert enc["feed_forward"]["linear_2"]["kernel"].spec == P("tp", None)
 
 
+@pytest.mark.heavy
 def test_tower_pretrain_step_runs_with_tp(tmp_path):
     # full jitted pretrain step with tp-sharded tower params executes
     # and stays finite on the fake dp x tp mesh
@@ -556,6 +559,7 @@ def test_clr_target_works_with_compute_dtype():
     assert float(denom) == 4.0 and 0 <= float(correct) <= 4
 
 
+@pytest.mark.heavy
 def test_e2e_clip_pretrain_cli(tmp_path):
     # the clip processor end-to-end through the real CLI (dual tower +
     # clr target + bf16-free default dtype path)
@@ -644,6 +648,7 @@ def test_pretrain_rejects_indivisible_accum(tmp_path):
         tr.fit(Loader(Ds(), 4, shuffle=False))
 
 
+@pytest.mark.heavy
 def test_pretrain_resume_continues(tmp_path):
     from lr2ppo_tpu.config import Config
     from lr2ppo_tpu.data.pipeline import Loader

@@ -1,6 +1,7 @@
 """Regression tests for the round-3 post-landing review findings
 (multi-host save/metric gating, wrap-validity masks on sharded chunked
 loaders)."""
+import pytest
 import numpy as np
 
 from lr2ppo_tpu.data.pipeline import Loader, ProcessLoader
@@ -88,6 +89,7 @@ def test_metric_logger_gated_to_rank0(tmp_path, monkeypatch):
     assert p.exists()
 
 
+@pytest.mark.heavy
 def test_transformer_encoder_remat_applies():
     # remat must be flax's lifted nn.remat: raw jax.checkpoint around a
     # bound-module closure leaks scope tracers and crashed every apply

@@ -40,6 +40,7 @@ def test_decoder_seq2seq_lm():
                for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.heavy
 def test_dual_encoder_clr_target():
     cfg = TowerConfig.from_dict({
         **TINY, "embedding": ["word"], "encoder": "dual",

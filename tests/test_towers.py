@@ -144,6 +144,7 @@ def test_patch_embedding_parity(ref_modules):
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.heavy
 def test_vit_and_xlmr_reference_configs_build():
     """The actual reference JSON configs load and run (layers cut to 2)."""
     for path, src_fn, seq in [

@@ -59,6 +59,7 @@ from fixtures import flatten_tree as _flat  # noqa: E402
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+@pytest.mark.heavy
 def test_tp2_matches_dp_only_training():
     p_dp, best_dp = _train(dp=8, tp=1)
     p_tp, best_tp = _train(dp=4, tp=2)
@@ -89,6 +90,7 @@ def _train_ppo(dp: int, tp: int):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+@pytest.mark.heavy
 def test_ppo_tp2_matches_dp_only_training():
     # the flagship stage: rollout (actor+critic+reward, sort, reward
     # gather) + |adv|-weighted rank-hinge update under tp sharding

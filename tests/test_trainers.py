@@ -55,6 +55,7 @@ def test_pointwise_tabular_e2e(tmp_path):
     assert (tmp_path / "best.ckpt").exists()
 
 
+@pytest.mark.heavy
 def test_pointwise_multimodal_cls_e2e(tmp_path):
     jp, hp = make_movienet(tmp_path / "d", n_items=8)
     ds = MovieNetDataset(jp, hp, "pointwise", max_tags=4, max_imgs=2)
@@ -67,6 +68,7 @@ def test_pointwise_multimodal_cls_e2e(tmp_path):
     assert 0.0 < best <= 1.0
 
 
+@pytest.mark.heavy
 def test_reward_trainer_multimodal(tmp_path):
     jp, hp = make_movienet(tmp_path / "d", n_items=6, with_index=True)
     tr_ds = MovieNetDataset(jp, hp, "reward", max_imgs=2)
@@ -79,6 +81,7 @@ def test_reward_trainer_multimodal(tmp_path):
     assert 0.0 <= best <= 1.0
 
 
+@pytest.mark.heavy
 def test_reward_trainer_tabular_learns_separable(tmp_path):
     # labels encoded in the features -> accuracy should beat chance
     groups = make_letor_groups(n_queries=6, docs=8, n_feat=16, seed=1)
@@ -96,6 +99,7 @@ def test_reward_trainer_tabular_learns_separable(tmp_path):
     assert best > 0.55
 
 
+@pytest.mark.heavy
 def test_ppo_end_to_end(tmp_path):
     jp, hp = make_movienet(tmp_path / "d", n_items=6)
     cfg = tiny_config(tmp_path, epochs_num=1)
@@ -115,6 +119,7 @@ def test_ppo_end_to_end(tmp_path):
     assert int(astate.step) >= 2  # at least one sweep of 2 memories ran
 
 
+@pytest.mark.heavy
 def test_ppo_rollout_int8(tmp_path, monkeypatch):
     """--rollout_int8: rollouts run from int8 views of the live
     actor/critic params, re-quantized once per sweep. Zero the size
@@ -150,6 +155,7 @@ def test_ppo_rollout_int8(tmp_path, monkeypatch):
     assert np.issubdtype(np.asarray(k).dtype, np.floating)
 
 
+@pytest.mark.heavy
 def test_ppo_tabular_smoke(tmp_path):
     groups = make_letor_groups(n_queries=6, docs=6, n_feat=16)
     q = LetorQueries(groups)
@@ -166,6 +172,7 @@ def test_ppo_tabular_smoke(tmp_path):
     assert np.isfinite(best)
 
 
+@pytest.mark.heavy
 def test_two_data_trainer_and_projection(tmp_path):
     ga = make_letor_groups(n_queries=4, docs=5, n_feat=7, seed=0)
     gb = make_letor_groups(n_queries=4, docs=5, n_feat=11, seed=1)
