@@ -570,8 +570,11 @@ class SentencePieceUnigram:
     def normalize(self, text: str) -> str:
         """NormalizerSpec essentials (see class docstring): NMT control/
         zero-width removal, NFKC, unicode-whitespace unification, extra-
-        whitespace collapse + strip. `name == 'identity'` is a pass-
-        through except for the whitespace handling spm always applies."""
+        whitespace collapse + strip. `name == 'identity'` has an EMPTY
+        precompiled charsmap in real spm, so it gets no whitespace
+        unification — '\\t'/'\\n' pass through and segment as unknown
+        chars/bytes; only the plain-' ' collapse/escape steps (which act
+        on U+0020 alone) still apply."""
         spec = self.normalizer
         name = spec.get("name", "nmt_nfkc")
         if "nmt" in name:
@@ -587,9 +590,10 @@ class SentencePieceUnigram:
             text = "".join(out)
         if "nfkc" in name:
             text = unicodedata.normalize("NFKC", text)
-        # spm rewrites every whitespace codepoint to ' ' (the charsmap
-        # does this even for rule sets without nmt/nfkc)
-        text = "".join(" " if ch.isspace() else ch for ch in text)
+        if name != "identity":
+            # the nmt/nfkc-family charsmaps rewrite every whitespace
+            # codepoint to ' '; identity's charsmap is empty
+            text = "".join(" " if ch.isspace() else ch for ch in text)
         if spec.get("remove_extra_whitespaces", True):
             text = " ".join(p for p in text.split(" ") if p)
         return text
@@ -598,6 +602,10 @@ class SentencePieceUnigram:
     def encode(self, text: str):
         spec = self.normalizer
         s = self.normalize(text)
+        if not s:
+            # real spm returns [] for empty/whitespace-only input — the
+            # dummy prefix is only added to non-empty normalized text
+            return []
         if spec.get("add_dummy_prefix", True):
             s = " " + s
         if spec.get("escape_whitespaces", True):

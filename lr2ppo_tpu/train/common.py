@@ -174,15 +174,27 @@ def resume_fit_state(cfg, ctx, tx, steps_per_epoch: int, logger=None,
 
 
 def burn_keys(key, n: int):
-    """Advance the per-step dropout key stream past `n` skipped steps so
-    a resumed run's keys continue exactly where an uninterrupted run
+    """Advance the per-step dropout key stream past `n` completed steps
+    so a resumed run's keys continue exactly where an uninterrupted run
     would be (ADVICE r3: fast-forwarding data without fast-forwarding
-    the key stream replayed step-1 dropout noise after every resume)."""
-    import jax
+    the key stream replayed step-1 dropout noise after every resume).
 
-    for _ in range(int(n)):
-        key, _ = jax.random.split(key)
-    return key
+    Callers must burn the TOTAL completed step count, not the in-epoch
+    remainder: the stream is split once per step continuously across
+    epochs, so an epoch-boundary resume still has `steps_per_epoch`
+    splits behind it. One jitted fori_loop (identical chain to n
+    sequential `jax.random.split(key)[0]`) instead of n host
+    dispatches — resume at step 100k would otherwise stall for minutes.
+    """
+    if int(n) <= 0:
+        return key
+    return _burn_keys_jit(key, jnp.asarray(int(n), jnp.int32))
+
+
+@jax.jit
+def _burn_keys_jit(key, n):
+    return jax.lax.fori_loop(
+        0, n, lambda i, k: jax.random.split(k)[0], key)
 
 
 def peek_batch(loader):

@@ -110,6 +110,10 @@ class PointwiseTrainer:
         saver.best = max(saver.best, resume_best)
         trace = TraceWindow(cfg.profile_dir)
         key = jax.random.PRNGKey(cfg.seed + 1)
+        # one split per completed step, across ALL epochs — burn the
+        # total, not the in-epoch remainder (an epoch-boundary resume
+        # has skip_batches == 0 but a full epoch of splits behind it)
+        key = burn_keys(key, step)
         result = {}
         self.logger.info(
             f"Start training: {steps_per_epoch} steps/epoch, "
@@ -119,9 +123,6 @@ class PointwiseTrainer:
             it = iter(train_loader)
             if epoch == start_epoch and skip_batches:
                 it = islice(it, skip_batches, None)
-                # keep the dropout key stream aligned with an
-                # uninterrupted run (ADVICE r3)
-                key = burn_keys(key, skip_batches)
             for batch in it:
                 b = self.ctx.put(batch)
                 key, sub = jax.random.split(key)
@@ -214,6 +215,7 @@ class TwoDataTrainer(PointwiseTrainer):
         saver = BestSaver(cfg.output_model_path, self.logger)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 1)
+        key = burn_keys(key, step)  # total completed steps (see fit)
         for epoch in range(start_epoch, cfg.epochs_num + 1):
             skip = skip_batches if epoch == start_epoch else 0
             for l in loaders:
@@ -229,8 +231,6 @@ class TwoDataTrainer(PointwiseTrainer):
                         continue
                     if skip > 0:       # fast-forward the alternating stream
                         skip -= 1
-                        key = burn_keys(key, 1)  # keep the key stream
-                        #   aligned with an uninterrupted run (ADVICE r3)
                         continue
                     b = self.ctx.put(batch)
                     key, sub = jax.random.split(key)

@@ -209,6 +209,9 @@ class PretrainTrainer:
         step_fn = make_pretrain_step_form(self.model, tx, self.accum,
                                           self.form)
         key = jax.random.PRNGKey(cfg.seed + 1)
+        # burn the TOTAL completed steps, not the in-epoch remainder:
+        # the stream splits once per step across all epochs
+        key = burn_keys(key, step)
 
         saver = BestSaver(
             cfg.output_model_path + "-best" if cfg.output_model_path
@@ -222,9 +225,6 @@ class PretrainTrainer:
                 from itertools import islice
 
                 batch_iter = islice(batch_iter, skip_batches, None)
-                # keep the dropout key stream aligned with an
-                # uninterrupted run (ADVICE r3)
-                key = burn_keys(key, skip_batches)
             for batch in batch_iter:
                 folded = self._fold(batch)
                 key, sub = jax.random.split(key)

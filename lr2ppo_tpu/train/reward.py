@@ -120,6 +120,9 @@ class RewardTrainer:
         saver = BestSaver(cfg.output_model_path, self.logger)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 1)
+        # burn the TOTAL completed steps, not the in-epoch remainder:
+        # the stream splits once per step across all epochs
+        key = burn_keys(key, step)
         for epoch in range(start_epoch, cfg.epochs_num + 1):
             train_loader.set_epoch(epoch)
             batch_iter = iter(train_loader)
@@ -127,9 +130,6 @@ class RewardTrainer:
                 from itertools import islice
 
                 batch_iter = islice(batch_iter, skip_batches, None)
-                # keep the dropout key stream aligned with an
-                # uninterrupted run (ADVICE r3)
-                key = burn_keys(key, skip_batches)
             for batch in batch_iter:
                 b = self.ctx.put(batch)
                 key, sub = jax.random.split(key)

@@ -39,12 +39,22 @@ def pytest_collection_modifyitems(config, items):
     """
     if os.environ.get("LR2PPO_HEAVY") == "1":
         return
+    # `pytest -m heavy` (or any -m expression naming the tiers) is an
+    # explicit opt-in: deselection already happened, don't skip-mark the
+    # survivors into a 0-passed run.
+    markexpr = getattr(config.option, "markexpr", "") or ""
+    if "heavy" in markexpr or "slow" in markexpr:
+        return
+    # Explicit CLI selection compares the nodeid's ::-suffix (which
+    # includes any TestClass segment), not item.name, so
+    # file::Class::test and parametrized ids both opt in.
     explicit = {a.split("::", 1)[1] for a in config.args if "::" in a}
     skip = pytest.mark.skip(
         reason="heavy tier: set LR2PPO_HEAVY=1 (verify skill runs it)")
     for item in items:
         if "heavy" in item.keywords or "slow" in item.keywords:
-            if any(item.name == e or item.name.startswith(e + "[")
-                   for e in explicit):
+            ident = item.nodeid.split("::", 1)[1]
+            if any(ident == e or ident.startswith(e + "[")
+                   or ident.startswith(e + "::") for e in explicit):
                 continue
             item.add_marker(skip)

@@ -246,6 +246,32 @@ class TestSentencePieceUnigram:
         # zero-width junk is dropped by the nmt rules
         assert uni.encode("hel\u200blo\u200d world\ufeff") == base
 
+    def test_empty_and_whitespace_only_input(self):
+        """Round-4 review: real spm returns [] for empty/whitespace-only
+        input — the dummy prefix must not manufacture a lone '▁'."""
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        uni = SentencePieceUnigram(self.PIECES)
+        assert uni.encode("") == []
+        assert uni.encode("   ") == []
+        assert uni.encode(" \t\n　 ") == []
+
+    def test_identity_normalizer_keeps_raw_whitespace(self, tmp_path):
+        """Round-4 review: an 'identity' NormalizerSpec has an EMPTY
+        precompiled charsmap in real spm — tabs/newlines pass through
+        and segment as unknown chars instead of unifying to '▁'."""
+        from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
+
+        p = tmp_path / "ident.model"
+        p.write_bytes(self._spm_bytes(normalizer={"name": "identity"}))
+        uni = SentencePieceUnigram.from_model_proto(str(p))
+        toks = uni.encode("hello\tworld")
+        assert "\t" in toks                    # raw tab survives
+        assert toks[0] == "▁hello"
+        # the default nmt_nfkc rules DO unify the tab to a space
+        default = SentencePieceUnigram(self.PIECES)
+        assert default.encode("hello\tworld") == ["▁hello", "▁world"]
+
     def test_normalizer_spec_parsed_and_applied(self, tmp_path):
         from lr2ppo_tpu.data.tokenizers import SentencePieceUnigram
 
