@@ -275,11 +275,19 @@ def main(argv=None):
     import json as _json
 
     with open(args.tower_config) as _f:
-        _raw_msl = _json.load(_f).get("max_seq_length",
-                                      TowerConfig().max_seq_length)
+        _raw_tower = _json.load(_f)
+    _raw_msl = _raw_tower.get("max_seq_length",
+                              TowerConfig().max_seq_length)
+    # speech pos tables size by max_audio_frames (reference
+    # pos_embedding.py:12-14); precedence defaults < JSON < explicit CLI
+    import sys as _sys
+
+    _maf = (args.max_audio_frames if "--max_audio_frames" in _sys.argv
+            else _raw_tower.get("max_audio_frames", args.max_audio_frames))
     tower_cfg = TowerConfig.from_json(
         args.tower_config, vocab_size=vocab_size,
         max_seq_length=max(args.seq_length, _raw_msl),
+        max_audio_frames=_maf,
         **({"hash_dropout": True} if args.hash_dropout else {}))
     ds = str2dataset[args.data_processor](args.corpus_path, tok, args,
                                           tower_cfg)

@@ -181,6 +181,13 @@ def quantize_tree(params, other_dtype=jnp.bfloat16):
                 # independent: skip whenever the sibling kernel is being
                 # quantized in this dict)
                 continue
+            elif (k == "kernel_scale" and hasattr(node.get("kernel"), "dtype")
+                  and node["kernel"].dtype == jnp.int8):
+                # already-quantized node: pass the f32 scale through
+                # untouched so quantize_tree is idempotent (the default
+                # branch would downcast it to bf16, degrading every
+                # int8 matmul's rescale by up to ~0.4%)
+                out[k] = v
             else:
                 out[k] = walk(v)
         return out

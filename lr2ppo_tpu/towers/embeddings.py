@@ -67,11 +67,17 @@ class SegEmbedding(nn.Module):
 
 
 class SinusoidalposEmbedding(nn.Module):
-    """Fixed sin/cos table, interleaved variant, shifted by 2 and masked to
-    the unpadded prefix (sinusoidalpos_embedding.py:26-68)."""
+    """Fixed sin/cos table, shifted by 2 and masked to the unpadded
+    prefix (sinusoidalpos_embedding.py:26-68). Two layouts, matching
+    the reference's arrange_sincos_cross switch (:21-41): interleaved
+    sin/cos ("Attention Is All You Need") for text, concatenated
+    [sin || cos] (huggingface/tensor2tensor style) whenever 'speech' is
+    in the embedding list — a speech checkpoint's channels are permuted
+    relative to the interleaved layout."""
 
     max_seq_length: int
     emb_size: int
+    interleaved: bool = True   # reference arrange_sincos_cross
 
     def _table(self) -> jnp.ndarray:
         # +2 rows: __call__ reads rows [2, s+2) — the reference builds
@@ -84,9 +90,18 @@ class SinusoidalposEmbedding(nn.Module):
         half_exp = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -value)
         half_mat = (jnp.arange(rows, dtype=jnp.float32)[:, None]
                     * half_exp[None, :])
-        emb = jnp.zeros((rows, self.emb_size), jnp.float32)
-        emb = emb.at[:, 0::2].set(jnp.sin(half_mat))
-        emb = emb.at[:, 1::2].set(jnp.cos(half_mat))
+        if self.interleaved:
+            emb = jnp.zeros((rows, 2 * half), jnp.float32)
+            emb = emb.at[:, 0::2].set(jnp.sin(half_mat))
+            emb = emb.at[:, 1::2].set(jnp.cos(half_mat))
+        else:
+            emb = jnp.concatenate(
+                [jnp.sin(half_mat), jnp.cos(half_mat)], axis=1)
+        if self.emb_size % 2 == 1:
+            # odd emb_size zero-pads the last column
+            # (sinusoidalpos_embedding.py:42-44)
+            emb = jnp.concatenate(
+                [emb, jnp.zeros((rows, 1), jnp.float32)], axis=1)
         return emb
 
     @nn.compact
@@ -181,7 +196,11 @@ class MaskedPatchEmbedding(nn.Module):
                               (1, self.emb_size), jnp.float32)
         b, s, e = emb.shape
         onehot = jax.nn.one_hot(mask, s, dtype=emb.dtype)   # (B, M, S)
-        hit = onehot.sum(1)[..., None]                      # (B, S, 1)
+        # clip to 0/1: the reference scatter_ overwrite is idempotent,
+        # so a duplicated mask index (e.g. padding a short mask list by
+        # repeating an entry) must still yield exactly mask_emb — a raw
+        # occurrence count would negate-and-double those positions
+        hit = jnp.minimum(onehot.sum(1), 1.0)[..., None]    # (B, S, 1)
         return emb * (1 - hit) + hit * mask_emb.astype(emb.dtype)
 
 
@@ -221,15 +240,25 @@ class SpeechEmbedding(nn.Module):
         return x
 
 
+def _pos_rows(cfg) -> int:
+    """Speech configs size position tables by the (sub-sampled) audio
+    frame budget, not just text length (reference pos_embedding.py:12-14,
+    sinusoidalpos_embedding.py:21-22)."""
+    if "speech" in cfg.embedding:
+        return max(cfg.max_seq_length, getattr(cfg, "max_audio_frames", 0))
+    return cfg.max_seq_length
+
+
 _EMB_KINDS = {
     "word": lambda cfg, name: WordEmbedding(
         cfg.vocab_size, cfg.emb_size, "sinusoidalpos" in cfg.embedding,
         name=name),
-    "pos": lambda cfg, name: PosEmbedding(cfg.max_seq_length, cfg.emb_size,
+    "pos": lambda cfg, name: PosEmbedding(_pos_rows(cfg), cfg.emb_size,
                                           name=name),
     "seg": lambda cfg, name: SegEmbedding(cfg.emb_size, name=name),
     "sinusoidalpos": lambda cfg, name: SinusoidalposEmbedding(
-        cfg.max_seq_length, cfg.emb_size, name=name),
+        _pos_rows(cfg), cfg.emb_size,
+        interleaved="speech" not in cfg.embedding, name=name),
     "patch": lambda cfg, name: PatchEmbedding(
         cfg.emb_size, cfg.image_height, cfg.image_width, cfg.patch_size,
         cfg.channels_num, name=name),

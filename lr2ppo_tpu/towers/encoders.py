@@ -123,17 +123,19 @@ class _RecurrentEncoder(nn.Module):
 
     def _step(self, wi, wh, bi, bh, x, carry):
         h, c = carry
-        z = x @ wi.T + bi + h @ wh.T + bh
         if self.cell == "rnn":
-            nh = jnp.tanh(z)
+            nh = jnp.tanh(x @ wi.T + bi + h @ wh.T + bh)
             return nh, c
         if self.cell == "lstm":
+            z = x @ wi.T + bi + h @ wh.T + bh
             i, f, g, o = jnp.split(z, 4, axis=-1)
             # torch order: input, forget, cell, output
             nc = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             nh = jax.nn.sigmoid(o) * jnp.tanh(nc)
             return nh, nc
-        # gru (torch gate order: reset, update, new; new-gate bias split)
+        # gru needs the input and hidden halves separately (the new gate
+        # resets only the hidden half), so no summed z here
+        # (torch gate order: reset, update, new; new-gate bias split)
         zr = x @ wi.T + bi
         zh = h @ wh.T + bh
         ir, iz, in_ = jnp.split(zr, 3, axis=-1)
@@ -204,6 +206,37 @@ def LstmEncoder(cfg, dtype=None, name=None):
 
 def GruEncoder(cfg, dtype=None, name=None):
     return _RecurrentEncoder("gru", cfg, dtype, name=name)
+
+
+class _BiStackEncoder(nn.Module):
+    """The reference Bi{rnn,lstm,gru}Encoder (rnn_encoder.py:82-160) is
+    NOT torch bidirectional=True: it runs two independent full
+    multi-layer unidirectional stacks — `rnn_forward` on the sequence,
+    `rnn_backward` on the flipped sequence — and concatenates only at
+    the END (torch-bidirectional concatenates per layer, so layer k+1
+    sees both directions of layer k; these differ for layers_num > 1).
+    Submodule names match the reference attributes so checkpoints
+    import directly."""
+
+    cell: str
+    cfg: "TowerConfig"  # noqa: F821
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, emb: Array, seg: Array,
+                 deterministic: bool = True) -> Array:
+        import dataclasses
+
+        assert self.cfg.hidden_size % 2 == 0, (
+            "bi-stack encoders need an even hidden_size")
+        sub = dataclasses.replace(self.cfg, bidirectional=False,
+                                  hidden_size=self.cfg.hidden_size // 2)
+        of = _RecurrentEncoder(self.cell, sub, self.dtype,
+                               name="rnn_forward")(emb, seg, deterministic)
+        ob = _RecurrentEncoder(self.cell, sub, self.dtype,
+                               name="rnn_backward")(emb[:, ::-1], seg,
+                                                    deterministic)[:, ::-1]
+        return jnp.concatenate([of, ob], axis=-1)
 
 
 class GatedcnnEncoder(nn.Module):
@@ -286,9 +319,9 @@ def build_encoder(cfg, dtype=None, name=None):
         "rnn": lambda: RnnEncoder(cfg, dtype, name=name),
         "lstm": lambda: LstmEncoder(cfg, dtype, name=name),
         "gru": lambda: GruEncoder(cfg, dtype, name=name),
-        "birnn": lambda: RnnEncoder(cfg, dtype, name=name),
-        "bilstm": lambda: LstmEncoder(cfg, dtype, name=name),
-        "bigru": lambda: GruEncoder(cfg, dtype, name=name),
+        "birnn": lambda: _BiStackEncoder("rnn", cfg, dtype, name=name),
+        "bilstm": lambda: _BiStackEncoder("lstm", cfg, dtype, name=name),
+        "bigru": lambda: _BiStackEncoder("gru", cfg, dtype, name=name),
         "gatedcnn": lambda: GatedcnnEncoder(cfg, dtype, name=name),
     }
     return kinds[cfg.encoder]()

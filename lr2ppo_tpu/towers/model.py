@@ -41,7 +41,15 @@ class TowerConfig:
     feedforward_size: int = 3072
     heads_num: int = 12
     layers_num: int = 12
+    # decoder depth (reference transformer_decoder.py:16 reads
+    # args.decoder_layers_num — seq2seq configs can set enc/dec depths
+    # independently); None -> same depth as the encoder
+    decoder_layers_num: Optional[int] = None
     max_seq_length: int = 512
+    # speech configs size their position tables by
+    # max(max_seq_length, max_audio_frames) (reference
+    # pos_embedding.py:12-14, sinusoidalpos_embedding.py:21-22)
+    max_audio_frames: int = 6000
     dropout: float = 0.1
     # zero-residual hash dropout (ops/hash_dropout.py) instead of
     # threefry nn.Dropout at every tower dropout site
@@ -154,7 +162,7 @@ class TransformerDecoder(nn.Module):
                 name="self_pos_emb")(s_tgt, s_tgt)
 
         hidden = emb
-        for i in range(cfg.layers_num):
+        for i in range(cfg.decoder_layers_num or cfg.layers_num):
             pre = cfg.layernorm_positioning == "pre"
             name = f"transformer_decoder_{i}"
             self_attn = MultiHeadedAttention(

@@ -10,6 +10,13 @@ tencentpretrain/models/model.py composition):
   *.linear_layers.<j>.weight             -> linear_layers_<j>/kernel^T
   <linear>.weight / .bias                -> kernel^T / bias
   *.gamma / *.beta                       RefLayerNorm params (as-is)
+  encoder.rnn.weight_ih_l0[...]          -> encoder/weight_ih_l0 (the
+                                            nn.RNN nesting is dropped;
+                                            rnn_forward/rnn_backward of
+                                            the bi* stacks stay nested)
+  encoder.conv_1.weight + conv_b1 etc.   GatedcnnEncoder Conv2d kernels
+                                            + dual bias sources folded
+                                            to <conv>_w / <conv>_b
 """
 
 from __future__ import annotations
@@ -28,6 +35,12 @@ _RENAMES = {
 _TABLE_LEAVES = ("gamma", "beta", "cls_emb", "logit_scale",
                  "encoder_0_projection", "encoder_1_projection")
 
+# the reference RnnEncoder wraps torch's nn.RNN/LSTM/GRU in a `rnn`
+# attribute (rnn_encoder.py:21-26), so its flat parameters arrive as
+# encoder.rnn.weight_ih_l0[...]; the flax _RecurrentEncoder declares
+# them directly on the encoder with the same names — drop the nesting
+_RNN_LEAVES = ("weight_ih_l", "weight_hh_l", "bias_ih_l", "bias_hh_l")
+
 
 def _route_tower_key(key: str):
     parts = key.split(".")
@@ -38,6 +51,9 @@ def _route_tower_key(key: str):
         if p in _RENAMES and i + 1 < len(parts) and parts[i + 1].isdigit():
             out.append(_RENAMES[p] + parts[i + 1])
             i += 2
+        elif (p == "rnn" and i + 1 < len(parts)
+              and parts[i + 1].startswith(_RNN_LEAVES)):
+            i += 1                       # skip the nn.RNN attribute level
         else:
             out.append(p)
             i += 1
@@ -51,8 +67,61 @@ def _route_tower_key(key: str):
     return out
 
 
+def _fold_gatedcnn(state_dict: Dict[str, np.ndarray], tree: dict) -> None:
+    """Fold reference GatedcnnEncoder weights (cnn_encoder.py:17-43)
+    into the flax unfold+matmul layout and REMOVE them from state_dict.
+
+    Per conv the reference carries a Conv2d (with its own bias) plus a
+    separate randn per-channel parameter added at every position
+    (cnn_encoder.py:52-53,63-66) — mathematically one bias, so both sum
+    into the single flax `_b` leaf. Conv2d kernels flatten to the
+    (k*in, hs) causal-window matmul kernel: stem (hs,1,k,emb) and inner
+    (hs,hs,k,1) both reorder to offset-major rows."""
+    prefixes = [k[: -len("conv_b1")] for k in list(state_dict)
+                if k.endswith("conv_b1")
+                and (len(k) == len("conv_b1") or k[-len("conv_b1") - 1]
+                     == ".")]
+
+    def kernel(arr):
+        a = np.asarray(arr)
+        o = a.shape[0]
+        if a.shape[1] == 1:                    # stem: (hs, 1, k, emb)
+            a = a[:, 0]                        # (hs, k, emb)
+        else:                                  # inner: (hs, hs, k, 1)
+            a = a[..., 0].transpose(0, 2, 1)   # (hs, k, hs)
+        return a.reshape(o, -1).T              # (k*in, hs), offset-major
+
+    def bias(conv_bias, extra):
+        return (np.asarray(conv_bias).reshape(-1)
+                + np.asarray(extra).reshape(-1))
+
+    for prefix in prefixes:
+        out = {}
+        for tag, stem in (("conv", "conv"), ("gate", "gate")):
+            out[f"{stem}_stem_w"] = kernel(state_dict.pop(
+                f"{prefix}{tag}_1.weight"))
+            out[f"{stem}_stem_b"] = bias(
+                state_dict.pop(f"{prefix}{tag}_1.bias"),
+                state_dict.pop(f"{prefix}{tag}_b1"))
+            i = 0
+            while f"{prefix}{tag}.{i}.weight" in state_dict:
+                out[f"{stem}_layer_{i}_w"] = kernel(state_dict.pop(
+                    f"{prefix}{tag}.{i}.weight"))
+                out[f"{stem}_layer_{i}_b"] = bias(
+                    state_dict.pop(f"{prefix}{tag}.{i}.bias"),
+                    state_dict.pop(f"{prefix}{tag}_b.{i}"))
+                i += 1
+        node = tree
+        for p in filter(None, prefix.rstrip(".").split(".")):
+            node = node.setdefault(p, {})
+        for k, v in out.items():
+            node[k] = jnp.asarray(v)
+
+
 def torch_tower_to_flax(state_dict: Dict[str, np.ndarray]) -> dict:
     tree: dict = {}
+    state_dict = dict(state_dict)
+    _fold_gatedcnn(state_dict, tree)
     for key, val in state_dict.items():
         arr = np.asarray(val)
         path = _route_tower_key(key)

@@ -133,8 +133,16 @@ class VQGANEncoder(nn.Module):
                     name="conv_out")(_swish(h))
         z = nn.Conv(cfg.embed_dim, (1, 1), name="quant_conv")(h)
 
-        codebook = self.param("codebook", nn.initializers.uniform(
-            2.0 / cfg.n_embed), (cfg.n_embed, cfg.embed_dim), jnp.float32)
+        # taming's VectorQuantizer inits U(-1/n, 1/n); flax's
+        # nn.initializers.uniform samples [0, scale) only, so build the
+        # symmetric distribution explicitly (checkpoint loads overwrite
+        # this; it matters for the weightless testable-pipeline path)
+        codebook = self.param(
+            "codebook",
+            lambda key, shape, dtype: jax.random.uniform(
+                key, shape, dtype, minval=-1.0 / cfg.n_embed,
+                maxval=1.0 / cfg.n_embed),
+            (cfg.n_embed, cfg.embed_dim), jnp.float32)
         b, gh, gw, c = z.shape
         zf = z.reshape(b, gh * gw, c)
         # ||z - e||^2 = |z|^2 - 2 z.e + |e|^2; argmin via one matmul

@@ -46,6 +46,22 @@ def test_masked_patch_embedding():
     assert not np.allclose(np.asarray(out[0, 3]), mask_emb)  # unmasked kept
 
 
+def test_masked_patch_duplicate_index_idempotent():
+    """Round-4 review: the reference scatter_ overwrite is idempotent —
+    a duplicated mask index (e.g. padding a short list by repeating an
+    entry) must still yield exactly mask_emb, not a negated-and-doubled
+    corruption from a raw occurrence count."""
+    m = MaskedPatchEmbedding(emb_size=16, image_height=8, image_width=8,
+                             patch_size=4, channels_num=3)
+    pixels = jnp.asarray(np.random.RandomState(2).rand(1, 3, 8, 8),
+                         jnp.float32)
+    mask = jnp.asarray([[2, 2, 2]], jnp.int32)   # same index thrice
+    params = m.init(jax.random.PRNGKey(0), (pixels, mask), None)
+    out = m.apply(params, (pixels, mask), None)
+    mask_emb = np.asarray(params["params"]["mask_emb"])[0]
+    np.testing.assert_allclose(np.asarray(out[0, 2]), mask_emb, atol=1e-6)
+
+
 def test_speech_embedding_subsamples():
     m = SpeechEmbedding(emb_size=16, conv_layers=2, kernel_size=5,
                         in_dim=8)

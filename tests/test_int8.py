@@ -58,6 +58,24 @@ def test_int8_matmul_quantizes_float_kernel_on_the_fly():
 
 
 @pytest.mark.heavy
+def test_quantize_tree_idempotent():
+    """Round-4 review: re-quantizing an already-quantized tree must be a
+    no-op — the f32 kernel_scale leaves used to fall into the default
+    float branch and get silently downcast to bf16."""
+    rng = np.random.RandomState(7)
+    big = (2048, 1024)  # above the size gate so the kernel quantizes
+    p = {"params": {"fc": {"kernel": jnp.asarray(
+        rng.randn(*big), jnp.float32),
+        "bias": jnp.zeros((big[1],), jnp.float32)}}}
+    q1 = quantize_tree(p)
+    q2 = quantize_tree(q1)
+    assert q1["params"]["fc"]["kernel"].dtype == jnp.int8
+    assert q1["params"]["fc"]["kernel_scale"].dtype == jnp.float32
+    assert q2["params"]["fc"]["kernel_scale"].dtype == jnp.float32
+    for a, b in zip(jax.tree.leaves(q1), jax.tree.leaves(q2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantize_tree_structure_and_model_parity():
     mcfg = ModelConfig(feat_size=32, seq_length=6, max_imgs=2, num_heads=4,
                        drop_p=0.0, forward_drop_p=0.0)

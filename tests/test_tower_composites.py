@@ -40,6 +40,32 @@ def test_decoder_seq2seq_lm():
                for g in jax.tree.leaves(grads))
 
 
+def test_decoder_layers_num_sets_decoder_depth():
+    """Round-4 review: the reference decoder reads decoder_layers_num
+    (transformer_decoder.py:16) so enc/dec depths can differ; from_dict
+    used to drop the key and build the decoder at encoder depth."""
+    cfg = TowerConfig.from_dict({
+        **TINY, "layers_num": 3, "decoder_layers_num": 2,
+        "embedding": ["word", "pos"], "encoder": "transformer",
+        "decoder": "transformer", "target": ["lm"]})
+    assert cfg.decoder_layers_num == 2
+    model = build_model(cfg)
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.randint(1, 24, (2, 8)), jnp.int32)
+    seg = jnp.ones((2, 8), jnp.int32)
+    tgt_in = jnp.asarray(rng.randint(1, 24, (2, 6)), jnp.int32)
+    tgt = jnp.asarray(rng.randint(1, 24, (2, 6)), jnp.int32)
+    tgt_seg = jnp.ones((2, 6), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, tgt, seg,
+                        tgt_in=tgt_in, tgt_seg=tgt_seg)
+    dec = params["params"]["decoder_mod"]
+    enc = params["params"]["encoder"]
+    dec_layers = {k.split("_self_attn")[0] for k in dec
+                  if "_self_attn" in k}
+    assert len(dec_layers) == 2, sorted(dec)
+    assert sum(1 for k in enc if k.startswith("transformer_")) == 3
+
+
 @pytest.mark.heavy
 def test_dual_encoder_clr_target():
     cfg = TowerConfig.from_dict({

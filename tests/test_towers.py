@@ -194,3 +194,110 @@ def test_rnn_encoders_run():
         out = enc.apply(params, emb, seg)
         assert out.shape == (2, 6, 16)
         assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("enc_name,bidir", [
+    ("rnn", False), ("lstm", False), ("gru", False),
+    ("lstm", True),   # torch bidirectional=True: per-layer concat
+    ("birnn", False), ("bilstm", False), ("bigru", False),  # two stacks
+])
+def test_rnn_encoder_import_parity(ref_modules, enc_name, bidir):
+    """Round-4 review: reference RnnEncoder nests its weights under the
+    torch nn.RNN attribute (encoder.rnn.weight_ih_l0, rnn_encoder.py:21)
+    — the importer must drop that level so RNN-family checkpoints load
+    and reproduce the torch forward. The bi* classes are two independent
+    stacks concatenated at the END (rnn_encoder.py:82-160), not torch
+    bidirectional — both flavors are pinned here with layers_num=2,
+    where the two differ."""
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        from tencentpretrain.encoders import str2encoder
+    finally:
+        sys.path.remove(REF)
+    from lr2ppo_tpu.towers.encoders import build_encoder
+
+    torch.manual_seed(5)
+    args = tiny_args(encoder=enc_name, bidirectional=bidir)
+    oracle = str2encoder[enc_name](Namespace(**args)).eval()
+    params = torch_tower_to_flax(prefixed(oracle.state_dict(), "encoder."))
+    enc = build_encoder(TowerConfig.from_dict(args))
+
+    rng = np.random.RandomState(5)
+    emb = rng.randn(2, 6, 16).astype(np.float32)
+    seg = np.ones((2, 6), dtype=np.int64)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(emb), torch.tensor(seg)).numpy()
+    got = enc.apply({"params": params["params"]["encoder"]},
+                    jnp.asarray(emb), jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-4)
+
+
+def test_sinusoidalpos_speech_layout_parity(ref_modules):
+    """Round-4 review: speech configs switch the sinusoidal table to the
+    concatenated [sin || cos] layout and size it by max_audio_frames
+    (sinusoidalpos_embedding.py:20-41); text configs keep interleaved."""
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        from tencentpretrain.embeddings.sinusoidalpos_embedding import (
+            SinusoidalposEmbedding as TorchSin,
+        )
+    finally:
+        sys.path.remove(REF)
+    from lr2ppo_tpu.towers.embeddings import _EMB_KINDS
+
+    args = tiny_args(embedding=["speech", "sinusoidalpos"],
+                     max_audio_frames=20)
+    ns = Namespace(**args, tokenizer=Namespace(vocab={"<pad>": 0}))
+    oracle = TorchSin(ns, None).eval()
+    cfg = TowerConfig.from_dict(args)
+    ours = _EMB_KINDS["sinusoidalpos"](cfg, "sinusoidalpos")
+
+    src = np.zeros((2, 8), dtype=np.int64)
+    seg = np.array([[1] * 8, [1] * 5 + [0] * 3], dtype=np.int64)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(src), torch.tensor(seg)).numpy()
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(src),
+                       jnp.asarray(seg))
+    got = ours.apply(params, jnp.asarray(src), jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)
+    # text configs stay interleaved and DIFFER from the speech layout
+    tcfg = TowerConfig.from_dict(tiny_args(max_seq_length=20))
+    text_mod = _EMB_KINDS["sinusoidalpos"](tcfg, "sinusoidalpos")
+    tp = text_mod.init(jax.random.PRNGKey(0), jnp.asarray(src),
+                       jnp.asarray(seg))
+    text_out = text_mod.apply(tp, jnp.asarray(src), jnp.asarray(seg))
+    assert not np.allclose(np.asarray(text_out), ref)
+
+
+def test_gatedcnn_import_parity(ref_modules):
+    """Round-4 review: the reference GatedcnnEncoder stores Conv2d
+    kernels plus TWO bias sources per conv (cnn_encoder.py:17-43); the
+    importer folds them into the flax causal-window matmul layout."""
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        from tencentpretrain.encoders import str2encoder
+    finally:
+        sys.path.remove(REF)
+    from lr2ppo_tpu.towers.encoders import build_encoder
+
+    torch.manual_seed(6)
+    args = tiny_args(encoder="gatedcnn", kernel_size=3, block_size=2,
+                     layers_num=3)
+    oracle = str2encoder["gatedcnn"](Namespace(**args)).eval()
+    params = torch_tower_to_flax(prefixed(oracle.state_dict(), "encoder."))
+    enc = build_encoder(TowerConfig.from_dict(args))
+
+    rng = np.random.RandomState(6)
+    emb = rng.randn(2, 6, 16).astype(np.float32)
+    seg = np.ones((2, 6), dtype=np.int64)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(emb), torch.tensor(seg)).numpy()
+    got = enc.apply({"params": params["params"]["encoder"]},
+                    jnp.asarray(emb), jnp.asarray(seg))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=2e-4)
