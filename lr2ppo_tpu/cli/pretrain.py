@@ -280,9 +280,13 @@ def main(argv=None):
                               TowerConfig().max_seq_length)
     # speech pos tables size by max_audio_frames (reference
     # pos_embedding.py:12-14); precedence defaults < JSON < explicit CLI
+    # (scan the argv actually parsed, in both --flag v and --flag=v form)
     import sys as _sys
 
-    _maf = (args.max_audio_frames if "--max_audio_frames" in _sys.argv
+    _argv = _sys.argv[1:] if argv is None else list(argv)
+    _explicit = any(a == "--max_audio_frames"
+                    or a.startswith("--max_audio_frames=") for a in _argv)
+    _maf = (args.max_audio_frames if _explicit
             else _raw_tower.get("max_audio_frames", args.max_audio_frames))
     tower_cfg = TowerConfig.from_json(
         args.tower_config, vocab_size=vocab_size,

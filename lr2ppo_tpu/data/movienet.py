@@ -31,6 +31,13 @@ import numpy as np
 
 def _pad_images(img: np.ndarray, max_imgs: int, rng: np.random.Generator):
     n = img.shape[0]
+    if n == 0:
+        # an item with zero decodable keyframes would otherwise die with
+        # a bare ZeroDivisionError deep in a prefetch worker hours into
+        # a run (the reference's `imgs[i % len]` cycling has the same
+        # failure); name the problem instead
+        raise ValueError("item has no image embeddings (0 keyframes); "
+                         "drop it from the data JSON or re-extract")
     img = img[rng.permutation(n)]
     if n >= max_imgs:
         return np.ascontiguousarray(img[:max_imgs])
@@ -69,6 +76,12 @@ class MovieNetDataset:
         self.rng = np.random.default_rng(seed)
         self._ram: Optional[Dict[str, tuple]] = None
         self._want_preload = preload
+        import threading as _threading
+
+        # serialize the lazy preload: without it every prefetch thread
+        # that sees _ram is None builds its own full RAM copy (N x the
+        # multi-GB load + a transient N x RAM spike)
+        self._preload_lock = _threading.Lock()
         if data is None:
             with open(json_path) as f:
                 data = json.load(f)
@@ -92,6 +105,9 @@ class MovieNetDataset:
             iid = item["id"]
             tags = item["tags"]
             t = len(tags)
+            if t == 0:
+                raise ValueError(
+                    f"item {iid!r} has no tags (mode={mode})")
             self.targets_of[iid] = [int(x["target"]) for x in tags]
             self.tag_names[iid] = [str(x.get("tag", j))
                                    for j, x in enumerate(tags)]
@@ -117,6 +133,13 @@ class MovieNetDataset:
                     # ch/rj index into the 3-tag subset `pick`
                     self.examples.append((iid, pick, ch, rj))
             elif mode == "ppo":
+                if t < 2:
+                    # a 1-tag item can't form a pair: the reference's
+                    # random.sample(range(tags_num), 2) would raise;
+                    # silently broadcasting one tag into a 2-row batch
+                    # slot would train on tag-vs-itself. Skip, like
+                    # reward_eval skips class-deficient items.
+                    continue
                 # the pair itself is drawn in get() from the (epoch,
                 # item) rng: set_epoch(n) alone gives the fresh per-epoch
                 # pair sampling of the reference's per-epoch trainset
@@ -157,18 +180,19 @@ class MovieNetDataset:
         class of host (single core, 125 GB RAM) the h5 read + dtype
         convert per item IS the input bottleneck; a one-time pass turns
         `get` into pure slicing + one memcpy."""
-        if self._ram is None:
-            ram: Dict[str, tuple] = {}
-            h5 = self.h5
-            for iid in self.targets_of:
-                grp = h5[str(iid)]
-                text = np.asarray(grp["text_emb"][:]).astype(
-                    self.item_dtype, copy=False)
-                img = np.asarray(grp["img_emb"][:])[0].astype(
-                    self.item_dtype, copy=False)
-                ram[iid] = (np.ascontiguousarray(text),
-                            np.ascontiguousarray(img))
-            self._ram = ram
+        with self._preload_lock:
+            if self._ram is None:
+                ram: Dict[str, tuple] = {}
+                h5 = self.h5
+                for iid in self.targets_of:
+                    grp = h5[str(iid)]
+                    text = np.asarray(grp["text_emb"][:]).astype(
+                        self.item_dtype, copy=False)
+                    img = np.asarray(grp["img_emb"][:])[0].astype(
+                        self.item_dtype, copy=False)
+                    ram[iid] = (np.ascontiguousarray(text),
+                                np.ascontiguousarray(img))
+                self._ram = ram
         return self
 
     @property

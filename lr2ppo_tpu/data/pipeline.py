@@ -227,7 +227,13 @@ class Loader:
                 return False
 
             try:
-                pending = []
+                # deque + popleft: a completed Future retains its batch
+                # result, so a grow-only list would hold every collated
+                # batch of the epoch live (tens of GB for a
+                # reuse_buffers=False eval epoch)
+                from collections import deque
+
+                pending = deque()
                 it = iter(batches)
                 for k, idx in enumerate(it):
                     pending.append(pool.submit(make_batch, idx,
@@ -238,16 +244,16 @@ class Loader:
                 for idx in it:
                     if stop.is_set():
                         return
-                    if not put(pending[i].result()):
+                    if not put(pending.popleft().result()):
                         return
                     pending.append(pool.submit(
                         make_batch, idx,
                         slots[(i + window) % len(slots)]))
                     i += 1
-                for f in pending[i:]:
+                while pending:
                     if stop.is_set():
                         return
-                    if not put(f.result()):
+                    if not put(pending.popleft().result()):
                         return
             except Exception as e:  # surface worker errors to the consumer
                 put(e)
@@ -455,7 +461,10 @@ class ProcessLoader(Loader):
             slot_names.append(name_map)
 
         mctx = mp.get_context("fork")
-        task_q, done_q = mctx.SimpleQueue(), mctx.SimpleQueue()
+        # Queue (not SimpleQueue): get(timeout=) lets the consumer
+        # detect a hard-dead worker instead of blocking forever on a
+        # done entry that will never arrive
+        task_q, done_q = mctx.SimpleQueue(), mctx.Queue()
         procs = [mctx.Process(
             target=_proc_worker,
             args=(self.ds, specs, slot_names, self.bs, task_q, done_q),
@@ -489,6 +498,26 @@ class ProcessLoader(Loader):
         from collections import deque
         self._holdback = deque()
 
+    DONE_POLL_S = 10.0   # liveness-check period, not a deadline
+
+    def _get_done(self, done_q, procs):
+        """done_q.get with worker-liveness checks: a worker that dies
+        hard (OOM-kill, segfault in an h5 read) never posts its done
+        entry — only Python-level exceptions travel the except branch —
+        so a bare get() would hang the trainer forever."""
+        import queue as _queue
+
+        while True:
+            try:
+                return done_q.get(timeout=self.DONE_POLL_S)
+            except _queue.Empty:
+                dead = [p.pid for p in procs if not p.is_alive()]
+                if dead:
+                    raise RuntimeError(
+                        "ProcessLoader worker(s) died without reporting "
+                        f"(pids {dead}) — likely OOM-kill or a segfault "
+                        "in a data read") from None
+
     def close(self) -> None:
         if self._pool is not None:
             self._pool[4]()     # run the finalizer now
@@ -507,8 +536,9 @@ class ProcessLoader(Loader):
         # finish every straggler from an abandoned previous iteration
         # before its slots are re-dispatched
         self._gen += 1
+        procs = self._pool[0]
         while self._outstanding:
-            done_q.get()
+            self._get_done(done_q, procs)
             self._outstanding -= 1
         batches = self._batch_indices()
         # carry the previous epoch's still-reserved slots: a consumer may
@@ -524,7 +554,7 @@ class ProcessLoader(Loader):
                 self._outstanding += 1
                 dispatched += 1
             while yielded not in completed:
-                gen, k, slot, wrapped, err = done_q.get()
+                gen, k, slot, wrapped, err = self._get_done(done_q, procs)
                 self._outstanding -= 1
                 if gen != self._gen:
                     continue            # straggler from a preempted run

@@ -409,9 +409,14 @@ class T5CorpusDataset:
                  special_limit: int = 5):
         from lr2ppo_tpu.data.pretrain_data import MlmCorpusDataset
 
-        # reuse the MLM corpus packing (CLS/SEP framing + fixed rows)
+        # reuse the MLM corpus packing (CLS/SEP framing + fixed rows),
+        # framed with the ACTIVE tokenizer's specials (the module
+        # globals set_special_ids aligned) — the constructor defaults
+        # are the XLM-R layout and would frame a BERT vocab with
+        # arbitrary wordpieces as CLS/SEP
         base = MlmCorpusDataset(corpus_path, tokenizer, seq_length,
-                                vocab_size, mask_id=0, seed=seed)
+                                vocab_size, mask_id=0, cls_id=CLS,
+                                sep_id=SEP, pad_id=PAD, seed=seed)
         self.ids, self.seg = base.ids, base.seg
         self.seq_length = seq_length
         self.tgt_seq_length = tgt_seq_length

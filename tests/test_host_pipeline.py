@@ -64,6 +64,88 @@ def test_process_loader_propagates_worker_errors():
     pl.close()
 
 
+def test_loader_releases_consumed_batches():
+    """Round-4 review: the producer's grow-only `pending` list retained
+    every completed Future (and its collated batch) for the whole epoch
+    — with reuse_buffers=False a long eval epoch held tens of GB. Only
+    the in-flight window may stay alive."""
+    import gc
+    import weakref
+
+    class Big:
+        def __init__(self, n=40):
+            self.n = n
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __len__(self):
+            return self.n
+
+        def get(self, i):
+            return {"x": np.full((64, 64), i, np.float32)}
+
+    ld = Loader(Big(), 2, shuffle=False, num_workers=2,
+                reuse_buffers=False)
+    refs = []
+    for k, b in enumerate(ld):
+        refs.append(weakref.ref(b["x"]))
+        del b
+        if k == 15:
+            gc.collect()
+            dead = sum(r() is None for r in refs[:8])
+            assert dead == 8, (
+                f"only {dead}/8 early batches were released")
+            break
+
+
+def test_process_loader_detects_dead_worker(monkeypatch):
+    """Round-4 review: a hard-dead worker (OOM-kill/segfault) never
+    posts its done entry; the consumer must raise, not hang forever."""
+    import time
+
+    class Slow(_TinyDs):
+        def get(self, i):
+            time.sleep(0.05)
+            return super().get(i)
+
+    monkeypatch.setattr(ProcessLoader, "DONE_POLL_S", 0.3)
+    pl = ProcessLoader(Slow(64), 4, shuffle=False, num_workers=2)
+    it = iter(pl)
+    next(it)
+    for p in pl._pool[0]:
+        p.kill()
+    with pytest.raises(RuntimeError, match="died without reporting"):
+        for _ in it:
+            pass
+    pl.close()
+
+
+def test_movienet_ppo_skips_single_tag_items(tmp_path):
+    """Round-4 review: a 1-tag item can't form a PPO pair — silently
+    broadcasting it into the 2-row batch slot trained on tag-vs-itself
+    (or crashed the collate when it led a batch)."""
+    import json
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=3)
+    with open(jp) as f:
+        data = json.load(f)
+    data.append({"id": "lonely", "tags": [{"tag": "x", "target": 1}]})
+    ds = MovieNetDataset(jp, hp, "ppo", max_tags=2, data=data)
+    assert all(iid != "lonely" for iid, *_ in ds.examples)
+    assert len(ds.examples) == 3 * 2
+    with pytest.raises(ValueError, match="no tags"):
+        MovieNetDataset(jp, hp, "eval", data=[{"id": "z", "tags": []}])
+
+
+def test_pad_images_rejects_zero_keyframes():
+    from lr2ppo_tpu.data.movienet import _pad_images
+
+    with pytest.raises(ValueError, match="keyframes"):
+        _pad_images(np.zeros((0, 8), np.float32), 4,
+                    np.random.default_rng(0))
+
+
 def test_process_loader_marks_wrap_padding():
     pl = ProcessLoader(_TinyDs(10), 4, shuffle=False, num_workers=2)
     batches = [{k: np.array(v) for k, v in b.items()} for b in pl]

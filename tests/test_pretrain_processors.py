@@ -125,6 +125,29 @@ def test_mt_pairs(tmp_path):
     assert it["src"][0] == CLS and (it["seg"] == 1).sum() == 5
 
 
+def test_t5_honors_active_special_ids(tmp_path):
+    """Round-4 review: T5's internal MLM corpus packing used the
+    constructor-default XLM-R special ids, ignoring set_special_ids —
+    a BERT-layout vocab framed encoder rows with arbitrary wordpieces
+    as CLS/SEP while the decoder side used the correct ids."""
+    from lr2ppo_tpu.data import pretrain_processors as pp
+
+    tok = _tok(tmp_path)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("a b c d e f g h\n" * 6)
+    pp.set_special_ids(cls_id=7, pad_id=0, sep_id=9)
+    try:
+        ds = T5CorpusDataset(str(corpus), tok, seq_length=12,
+                             tgt_seq_length=12, vocab_size=VOCAB + 100,
+                             sentinel_start=VOCAB)
+        # encoder packing framed with the ACTIVE ids, not the defaults
+        assert ds.ids[0][0] == 7
+        it = ds.get(0)
+        assert it["tgt_in"][0] == 7
+    finally:
+        pp.set_special_ids()       # restore module defaults
+
+
 def test_t5_sentinel_structure(tmp_path):
     tok = _tok(tmp_path)
     corpus = tmp_path / "c.txt"
