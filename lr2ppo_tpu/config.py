@@ -250,6 +250,12 @@ class Config:
     profile_dir: Optional[str] = None
     save_state_steps: int = 0
     resume_path: Optional[str] = None
+    # checkpoint backend for every trainer save (best + periodic .state):
+    # 'pickle' (single portable file; pod rank-0 gathers and writes) or
+    # 'orbax' (directory; sharded-array aware — each pod host writes its
+    # own shards, no full-state host gather). Both resume transparently:
+    # the loaders detect the on-disk form (train/checkpoints.py:load_any)
+    ckpt_backend: str = "pickle"
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -386,7 +392,7 @@ _TOP_FLAGS = [
     "seed",
     "output_model_path", "log_path", "pretrained_model_path",
     "reward_model_path", "config_path", "profile_dir",
-    "save_state_steps", "resume_path", "profile",
+    "save_state_steps", "resume_path", "profile", "ckpt_backend",
 ]
 
 

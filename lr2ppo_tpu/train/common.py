@@ -129,10 +129,11 @@ def restore_train_state(ctx: DeviceCtx, tx, params_tree, opt_tree,
 class BestSaver:
     """Save-best contract (model_saver.py:4-11, ppo.py:910-915)."""
 
-    def __init__(self, path: str, logger=None):
+    def __init__(self, path: str, logger=None, backend: str = "pickle"):
         self.path = path
         self.best = -np.inf
         self.logger = logger
+        self.backend = backend
 
     def maybe_save(self, metric: float, tree, metadata: Optional[dict] = None
                    ) -> bool:
@@ -143,7 +144,8 @@ class BestSaver:
         self.best = float(metric)
         if self.path:
             checkpoints.save_checkpoint(
-                self.path, tree, {**(metadata or {}), "metric": self.best})
+                self.path, tree, {**(metadata or {}), "metric": self.best},
+                backend=self.backend)
         if self.logger:
             self.logger.info("Best val indicator until now!")
         return True

@@ -106,7 +106,8 @@ class PointwiseTrainer:
             state = init_state(params, tx)
         train_step = make_train_step(self.model, tx, cfg.model.mode)
 
-        saver = BestSaver(cfg.output_model_path, self.logger)
+        saver = BestSaver(cfg.output_model_path, self.logger,
+                          backend=cfg.ckpt_backend)
         saver.best = max(saver.best, resume_best)
         trace = TraceWindow(cfg.profile_dir)
         key = jax.random.PRNGKey(cfg.seed + 1)
@@ -136,7 +137,7 @@ class PointwiseTrainer:
                         {"params": state.params,
                          "opt_state": state.opt_state, "step": step,
                          "best": saver.best},
-                        {"step": step})
+                        {"step": step}, backend=cfg.ckpt_backend)
                 if step % cfg.report_steps == 0:
                     loss_v = check_finite(
                         float(loss), step,
@@ -212,7 +213,8 @@ class TwoDataTrainer(PointwiseTrainer):
             params = self.init_params(firsts, cfg.seed)
             state = init_state(params, tx)
         train_step = make_train_step(self.model, tx, cfg.model.mode)
-        saver = BestSaver(cfg.output_model_path, self.logger)
+        saver = BestSaver(cfg.output_model_path, self.logger,
+                          backend=cfg.ckpt_backend)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 1)
         key = burn_keys(key, step)  # total completed steps (see fit)
@@ -244,7 +246,7 @@ class TwoDataTrainer(PointwiseTrainer):
                             {"params": state.params,
                              "opt_state": state.opt_state, "step": step,
                              "best": saver.best},
-                            {"step": step})
+                            {"step": step}, backend=cfg.ckpt_backend)
                     if step % cfg.report_steps == 0:
                         loss_v = check_finite(
                             float(loss), step,

@@ -326,7 +326,8 @@ class PPOTrainer:
             if qa is None:
                 qa, qc = quant(astate.params), quant(cstate.params)
             return qa, qc
-        saver = BestSaver(cfg.output_model_path, self.logger)
+        saver = BestSaver(cfg.output_model_path, self.logger,
+                          backend=cfg.ckpt_backend)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 2)
         # one split per completed sweep: keep the dropout key stream
@@ -341,7 +342,7 @@ class PPOTrainer:
                             "opt_state": cstate.opt_state},
                  "astep": int(astate.step),
                  "step": step, "time_ctr": time_ctr, "best": best},
-                {"step": step})
+                {"step": step}, backend=cfg.ckpt_backend)
 
         memories: List[dict] = []
         pending_save = False

@@ -26,7 +26,7 @@ from lr2ppo_tpu.train.common import (
     BestSaver, DeviceCtx, TrainState, apply_updates, burn_keys,
     init_state, peek_batch)
 from lr2ppo_tpu.train.optim import build_optimizer
-from lr2ppo_tpu.utils import MetricLogger, init_logger
+from lr2ppo_tpu.utils import MetricLogger, check_finite, init_logger
 
 
 def _norm_target_out(out, rows: int):
@@ -215,7 +215,7 @@ class PretrainTrainer:
 
         saver = BestSaver(
             cfg.output_model_path + "-best" if cfg.output_model_path
-            else "", self.logger)
+            else "", self.logger, backend=cfg.ckpt_backend)
         saver.best = max(saver.best, resume_best)
         tokens_since, t_last = 0, time.perf_counter()
         for epoch in range(start_epoch, cfg.epochs_num + 1):
@@ -235,6 +235,10 @@ class PretrainTrainer:
                 tokens_since += int(np.prod(batch[tok_key].shape[:2]))
                 if step % cfg.report_steps == 0:
                     loss, acc = float(m["loss"]), float(m["acc"])
+                    loss = check_finite(
+                        loss, step,
+                        checkpoint_hint=(cfg.output_model_path + "-best"
+                                         if cfg.output_model_path else None))
                     dt = time.perf_counter() - t_last
                     tps = tokens_since / max(dt, 1e-9)
                     self.logger.info(
@@ -252,12 +256,13 @@ class PretrainTrainer:
                         {"params": state.params,
                          "opt_state": state.opt_state, "step": step,
                          "best": saver.best},
-                        {"step": step})
+                        {"step": step}, backend=cfg.ckpt_backend)
                 if step >= total:
                     break
             if step >= total:
                 break
         if cfg.output_model_path:
             checkpoints.save_checkpoint(cfg.output_model_path, state.params,
-                                        {"step": step})
+                                        {"step": step},
+                                        backend=cfg.ckpt_backend)
         return state, saver.best

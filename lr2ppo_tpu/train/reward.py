@@ -24,7 +24,7 @@ from lr2ppo_tpu.train.common import (
     BestSaver, DeviceCtx, TrainState, apply_updates, burn_keys,
     init_state, peek_batch)
 from lr2ppo_tpu.train.optim import build_optimizer
-from lr2ppo_tpu.utils import MetricLogger, init_logger
+from lr2ppo_tpu.utils import MetricLogger, check_finite, init_logger
 
 
 def make_train_step(model, tx, margin: float):
@@ -117,7 +117,8 @@ class RewardTrainer:
             first = peek_batch(train_loader)
             state = init_state(self.init_params(first, cfg.seed), tx)
         train_step = make_train_step(self.model, tx, self.margin)
-        saver = BestSaver(cfg.output_model_path, self.logger)
+        saver = BestSaver(cfg.output_model_path, self.logger,
+                          backend=cfg.ckpt_backend)
         saver.best = max(saver.best, resume_best)
         key = jax.random.PRNGKey(cfg.seed + 1)
         # burn the TOTAL completed steps, not the in-epoch remainder:
@@ -143,15 +144,18 @@ class RewardTrainer:
                         {"params": state.params,
                          "opt_state": state.opt_state, "step": step,
                          "best": saver.best},
-                        {"step": step})
+                        {"step": step}, backend=cfg.ckpt_backend)
                 if step % cfg.report_steps == 0:
+                    loss_v = check_finite(
+                        float(loss), step,
+                        checkpoint_hint=cfg.output_model_path)
                     self.logger.info(
                         f"epoch {epoch} step {step} "
-                        f"loss {float(loss):.6f} acc {float(acc):.4f}")
+                        f"loss {loss_v:.6f} acc {float(acc):.4f}")
                     val_acc = evaluate_pairwise(self.model, state.params,
                                                 eval_loader, put=self.ctx.put_eval)
                     self.logger.info(f"val accuracy: {val_acc:.4f}")
-                    self.metrics.log(step, loss=float(loss), acc=val_acc)
+                    self.metrics.log(step, loss=loss_v, acc=val_acc)
                     saver.maybe_save(val_acc, state.params)
             val_acc = evaluate_pairwise(self.model, state.params, eval_loader,
                                         put=self.ctx.put_eval)

@@ -17,6 +17,67 @@ def test_check_finite():
         check_finite(float("inf"), 1, checkpoint_hint="ckpt/x")
 
 
+@pytest.mark.heavy
+def test_reward_trainer_aborts_on_nonfinite_loss(tmp_path):
+    """Failure-detection parity: the reward trainer (like pointwise/PPO)
+    must raise NonFiniteLossError at report time instead of training on
+    silently (reference drops into pdb, ppo.py:576-578)."""
+    from fixtures import make_movienet
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.data.movienet import MovieNetDataset
+    from lr2ppo_tpu.train.reward import RewardTrainer
+
+    jp, hp = make_movienet(tmp_path / "d", n_items=6, with_index=True)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                          visual_feat_dim=16, num_heads=4,
+                          family="multimodal"),
+        epochs_num=1, batch_size=4, report_steps=1,
+        output_model_path=str(tmp_path / "best.ckpt"), seed=3)
+    cfg.mesh.dp = 2
+    cfg.optim.learning_rate = float("nan")  # step 1 poisons the params
+    tr_ds = MovieNetDataset(jp, hp, "reward", max_imgs=2)
+    ev_ds = MovieNetDataset(jp, hp, "reward_eval", max_tags=2, max_imgs=2)
+    tr = RewardTrainer(cfg)
+    with pytest.raises(NonFiniteLossError, match="best.ckpt"):
+        tr.fit(Loader(tr_ds, 4, shuffle=True), Loader(ev_ds, 4))
+
+
+@pytest.mark.heavy
+def test_pretrain_trainer_aborts_on_nonfinite_loss(tmp_path):
+    """Same failure-detection contract for the pretraining trainer."""
+    from lr2ppo_tpu.config import Config
+    from lr2ppo_tpu.towers.model import TowerConfig
+    from lr2ppo_tpu.train.pretrain import PretrainTrainer
+
+    class Ds:
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return 8
+
+        def get(self, i):
+            rng = np.random.default_rng(i)
+            src = rng.integers(5, 30, 8).astype(np.int32)
+            tgt = np.where(rng.random(8) < 0.3, src, 0).astype(np.int32)
+            return {"src": src, "tgt": tgt, "seg": np.ones(8, np.int32)}
+
+    cfg = Config()
+    cfg = cfg.replace(epochs_num=1, batch_size=4, report_steps=1,
+                      output_model_path=str(tmp_path / "tower.ckpt"),
+                      seed=0)
+    cfg.mesh.dp = 2
+    cfg.optim.learning_rate = float("nan")
+    tcfg = TowerConfig(emb_size=16, hidden_size=16, feedforward_size=32,
+                       heads_num=4, layers_num=1, max_seq_length=16,
+                       vocab_size=32)
+    tr = PretrainTrainer(cfg, tcfg)
+    with pytest.raises(NonFiniteLossError, match="tower.ckpt-best"):
+        tr.fit(Loader(Ds(), 4, shuffle=False))
+
+
 def test_trace_window_noop():
     tw = TraceWindow(None)
     for s in range(30):
@@ -153,6 +214,37 @@ def test_resume_from_orbax_state(tmp_path):
     tr2 = PointwiseTrainer(cfg2)
     state2, best2 = tr2.fit(train, ev)
     assert int(state2.step) == 12  # 6 saved + epoch-2's 6 steps
+    assert np.isfinite(best2)
+
+
+@pytest.mark.heavy
+def test_trainer_ckpt_backend_orbax(tmp_path):
+    """cfg.ckpt_backend='orbax' routes EVERY trainer save (best +
+    periodic .state) through the orbax directory backend — the
+    TPU-idiomatic multi-host form (each pod host writes its own shards
+    instead of rank-0 gathering the full state) — and resume reads it
+    back transparently."""
+    import os
+
+    pytest.importorskip("orbax.checkpoint")
+    groups = make_letor_groups(n_queries=24, docs=6, n_feat=16)
+    ds = LTRPointwiseDataset(LetorQueries(groups))
+    train = Loader(ds, batch_size=4, shuffle=True, seed=0)
+    ev = EvalLoader(ds, buckets=[6], batch_size=4)
+
+    cfg = _tiny_cfg(tmp_path).replace(
+        epochs_num=1, save_state_steps=5, ckpt_backend="orbax",
+        report_steps=3)
+    state, _ = PointwiseTrainer(cfg).fit(train, ev)
+    assert int(state.step) == 6
+    # both artifacts are orbax DIRECTORIES, not pickle files
+    assert os.path.isdir(str(tmp_path / "best.ckpt"))
+    assert os.path.isdir(str(tmp_path / "best.ckpt.state"))
+
+    cfg2 = cfg.replace(resume_path=str(tmp_path / "best.ckpt.state"),
+                       epochs_num=2)
+    state2, best2 = PointwiseTrainer(cfg2).fit(train, ev)
+    assert int(state2.step) == 12
     assert np.isfinite(best2)
 
 
