@@ -108,7 +108,11 @@ def evaluate_cases(model, params, dataset, eval_loader, out_path: str,
                     case["tags_rearranged"] = [case["tags"][j]
                                                for j in order.tolist()]
             cases.append(case)
-    if out_path:
+    # every rank computes identical cases (eval loaders are
+    # rank-duplicated), so only rank 0 touches the file — unsynchronized
+    # ranks racing one path on shared pod storage interleave/corrupt it,
+    # the same contract as save_checkpoint (reference misc.py:77-91)
+    if out_path and jax.process_index() == 0:
         os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".",
                     exist_ok=True)
         with open(out_path, "w") as f:

@@ -96,3 +96,23 @@ def test_ppo_eval_trad_cli_drives_mesh_path(tmp_path):
     cases = json.load(open(case_path))
     assert len(cases) == 6                      # one per query
     assert all("pred_order" in c for c in cases)
+
+
+def test_case_dump_is_rank0_gated(tmp_path, monkeypatch):
+    """On a pod every rank computes identical cases; only rank 0 may
+    touch the file (same contract as save_checkpoint — unsynchronized
+    ranks racing one path on shared storage corrupt the dump)."""
+    jp, hp = make_movienet(tmp_path / "d", n_items=4)
+    cfg = tiny_config(tmp_path)
+    model = ScoreModel(cfg.model, jnp.float32)
+    ds = MovieNetDataset(jp, hp, "eval", max_imgs=2)
+    ev = EvalLoader(ds, buckets=[8], batch_size=4)
+    b = peek_batch(ev)
+    params = _init_params(model, {k: v for k, v in b.items()
+                                  if not k.startswith("_")})
+    out = tmp_path / "cases.json"
+    monkeypatch.setattr("lr2ppo_tpu.train.evaluate.jax.process_index",
+                        lambda: 1)
+    result = evaluate_cases(model, params, ds, ev, str(out))
+    assert not out.exists()                     # non-zero rank: no write
+    assert 0.0 <= result[100000000] <= 1.0      # but the metric computed
