@@ -251,10 +251,14 @@ class Config:
     save_state_steps: int = 0
     resume_path: Optional[str] = None
     # checkpoint backend for every trainer save (best + periodic .state):
-    # 'pickle' (single portable file; pod rank-0 gathers and writes) or
+    # 'pickle' (single portable file; pod rank-0 gathers and writes),
     # 'orbax' (directory; sharded-array aware — each pod host writes its
-    # own shards, no full-state host gather). Both resume transparently:
-    # the loaders detect the on-disk form (train/checkpoints.py:load_any)
+    # own shards, no full-state host gather), or 'orbax_async' (same
+    # directory form, but the disk write overlaps training: orbax copies
+    # device->host before save() returns — donated update buffers stay
+    # safe — and commits from a background thread; trainers settle
+    # pending saves before fit returns). All resume transparently: the
+    # loaders detect the on-disk form (train/checkpoints.py:load_any)
     ckpt_backend: str = "pickle"
 
     def replace(self, **kw) -> "Config":

@@ -198,20 +198,60 @@ def import_pretrained(path: str, kind: str = "single") -> dict:
 # native checkpoints (save-best contract: model_saver.py:4-11)
 # ---------------------------------------------------------------------------
 
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    """Process-wide orbax AsyncCheckpointer (lazy singleton): one
+    background write thread serializes successive saves, and an atexit
+    wait guarantees the last save commits before the process exits."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import atexit
+
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+        atexit.register(_ASYNC_CKPTR.wait_until_finished)
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until every pending 'orbax_async' save has committed (and
+    re-raise any stored background-write failure). No-op for the sync
+    backends."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+_BACKENDS = ("pickle", "orbax", "orbax_async")
+
+
 def save_checkpoint(path: str, tree, metadata: Optional[dict] = None,
                     backend: str = "pickle") -> None:
     """Save a pytree (params and/or optimizer state) atomically.
 
     backend 'orbax' writes an orbax-checkpoint directory (sharded-array
-    aware, multi-host safe) at `path`; 'pickle' (default) writes a single
-    portable file."""
-    if backend == "orbax":
+    aware, multi-host safe) at `path`; 'orbax_async' additionally
+    overlaps the disk write with training — orbax copies device->host
+    synchronously before save() returns (so the trainers' donated update
+    buffers stay safe) and commits the directory from a background
+    thread (trainers wait_for_async_saves() before returning); 'pickle'
+    (default) writes a single portable file."""
+    if backend not in _BACKENDS:
+        # an unknown backend must not silently fall through to pickle
+        raise ValueError(
+            f"unknown ckpt_backend {backend!r}; expected one of {_BACKENDS}")
+    if backend in ("orbax", "orbax_async"):
         import orbax.checkpoint as ocp
 
+        payload = {"tree": tree, "metadata": metadata or {}}
+        if backend == "orbax_async":
+            _async_checkpointer().save(os.path.abspath(path), payload,
+                                       force=True)
+            return
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path),
-                   {"tree": tree, "metadata": metadata or {}},
-                   force=True)
+        ckptr.save(os.path.abspath(path), payload, force=True)
         ckptr.wait_until_finished()
         return
     # Pod contract: EVERY process must run the gather (replicate_global
@@ -237,6 +277,9 @@ def save_checkpoint(path: str, tree, metadata: Optional[dict] = None,
 def load_orbax_checkpoint(path: str):
     import orbax.checkpoint as ocp
 
+    # a just-scheduled orbax_async save to this path may still be
+    # committing in the background — reads must see the finished form
+    wait_for_async_saves()
     payload = ocp.StandardCheckpointer().restore(os.path.abspath(path))
     return payload["tree"], payload.get("metadata", {})
 
@@ -253,6 +296,9 @@ def load_any(path: str, kind: str = "single"):
     (import_pretrained). `kind` applies to the torch path
     ('single' | 'actor_critic'); native ppo checkpoints already carry
     {'actor','critic'} subtrees."""
+    # an orbax_async save to `path` may still be committing (the
+    # directory only appears at commit) — settle before sniffing the form
+    wait_for_async_saves()
     if os.path.isdir(path):          # orbax backend writes a directory
         tree, _meta = load_orbax_checkpoint(path)
         return tree

@@ -99,6 +99,9 @@ def load_state_tree(path: str):
     """Backend-aware full-state load: pickle file or orbax directory."""
     import pickle
 
+    # an orbax_async save may still be committing `path` in the
+    # background; settle so the resume sees the finished directory
+    checkpoints.wait_for_async_saves()
     try:
         return checkpoints.load_checkpoint(path)
     except (pickle.UnpicklingError, UnicodeDecodeError,

@@ -159,6 +159,9 @@ class PointwiseTrainer:
                 self.logger.info(f"epoch {epoch} NDCG:" + format_ndcg(result))
                 saver.maybe_save(result[100000000], state.params)
         trace.close()
+        # orbax_async: the last save may still be committing — fit's
+        # artifacts must be durable when it returns (no-op otherwise)
+        checkpoints.wait_for_async_saves()
         self.logger.info(f"Best NDCG: {saver.best}")
         return state, saver.best
 
@@ -262,6 +265,7 @@ class TwoDataTrainer(PointwiseTrainer):
             metric = float(np.mean(vals))
             self.logger.info(f"epoch {epoch} mean NDCG@full {metric:.4f}")
             saver.maybe_save(metric, state.params)
+        checkpoints.wait_for_async_saves()
         return state, saver.best
 
 

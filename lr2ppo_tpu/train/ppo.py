@@ -538,6 +538,8 @@ class PPOTrainer:
             # a later resumed run overwrite best.ckpt with worse params)
             if pending_save or improved:
                 _save_state(astate, cstate, step, time_ctr, saver.best)
+        # orbax_async: settle pending background saves before returning
+        checkpoints.wait_for_async_saves()
         self.logger.info(f"Best NDCG: {saver.best}")
         return astate, cstate, saver.best
 

@@ -265,4 +265,6 @@ class PretrainTrainer:
             checkpoints.save_checkpoint(cfg.output_model_path, state.params,
                                         {"step": step},
                                         backend=cfg.ckpt_backend)
+        # orbax_async: settle pending background saves before returning
+        checkpoints.wait_for_async_saves()
         return state, saver.best

@@ -161,5 +161,7 @@ class RewardTrainer:
                                         put=self.ctx.put_eval)
             self.logger.info(f"epoch {epoch} val accuracy: {val_acc:.4f}")
             saver.maybe_save(val_acc, state.params)
+        # orbax_async: settle pending background saves before returning
+        checkpoints.wait_for_async_saves()
         self.logger.info(f"Best Acc: {saver.best}")
         return state, saver.best

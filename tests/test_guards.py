@@ -249,6 +249,45 @@ def test_trainer_ckpt_backend_orbax(tmp_path):
 
 
 @pytest.mark.heavy
+def test_trainer_ckpt_backend_orbax_async(tmp_path):
+    """'orbax_async' overlaps the checkpoint disk write with training
+    (orbax copies device->host before save() returns, then commits from
+    a background thread); fit settles pending saves before returning, so
+    the artifacts are durable directories — and resume reads them like
+    any orbax checkpoint."""
+    import os
+
+    pytest.importorskip("orbax.checkpoint")
+    groups = make_letor_groups(n_queries=24, docs=6, n_feat=16)
+    ds = LTRPointwiseDataset(LetorQueries(groups))
+    train = Loader(ds, batch_size=4, shuffle=True, seed=0)
+    ev = EvalLoader(ds, buckets=[6], batch_size=4)
+
+    cfg = _tiny_cfg(tmp_path).replace(
+        epochs_num=1, save_state_steps=5, ckpt_backend="orbax_async",
+        report_steps=3)
+    state, _ = PointwiseTrainer(cfg).fit(train, ev)
+    assert int(state.step) == 6
+    assert os.path.isdir(str(tmp_path / "best.ckpt"))
+    assert os.path.isdir(str(tmp_path / "best.ckpt.state"))
+
+    cfg2 = cfg.replace(resume_path=str(tmp_path / "best.ckpt.state"),
+                       epochs_num=2)
+    state2, best2 = PointwiseTrainer(cfg2).fit(train, ev)
+    assert int(state2.step) == 12
+    assert np.isfinite(best2)
+
+
+def test_unknown_ckpt_backend_raises(tmp_path):
+    """A typo'd backend must fail loudly, not silently write pickle."""
+    from lr2ppo_tpu.train import checkpoints
+
+    with pytest.raises(ValueError, match="orbx"):
+        checkpoints.save_checkpoint(str(tmp_path / "x.ckpt"), {"w": 1},
+                                    backend="orbx")
+
+
+@pytest.mark.heavy
 def test_ppo_resume_continues(tmp_path):
     from fixtures import make_movienet
     from lr2ppo_tpu.config import Config, ModelConfig
