@@ -328,6 +328,70 @@ def run_e2e(bs: int = 256, batches: int = 30) -> dict:
     }
 
 
+def run_serve(bs: int = 32, tags: int = 20, warmup: int = 2,
+              iters: int = 12) -> dict:
+    """Serving benchmark: the production ranking-inference path — the
+    trained actor scores FULL tag lists (the ppo_eval flow, reference
+    ppo_eval.py:401-471) through the exact jitted program the
+    evaluators run (`train/evaluate.py:_scores_and_ndcg`, scores +
+    argsort-free on-device NDCG rows). Shapes are the flagship
+    geometry at the reference's eval tag width (MovieNet items carry
+    up to ~20 tags after the 20-doc/query resample; eval pads/buckets).
+
+    LR2PPO_BENCH_SERVE_INT8=0 serves the bf16 actor instead of the
+    size-gated int8 quantization (ops/int8.py) — inference-only, so
+    int8 is the production default here.
+    """
+    from lr2ppo_tpu.models import ScoreModel
+    from lr2ppo_tpu.train.evaluate import _scores_and_ndcg
+
+    cfg = fast_config()
+    mcfg = cfg.model
+    dtype = jnp.dtype(cfg.mesh.compute_dtype)
+    serve_int8 = os.environ.get("LR2PPO_BENCH_SERVE_INT8", "1") == "1"
+    import dataclasses
+
+    model = ScoreModel(
+        dataclasses.replace(mcfg, int8=True) if serve_int8 else mcfg,
+        dtype)
+    key = jax.random.PRNGKey(0)
+    kt, ki, kp = jax.random.split(key, 3)
+    text = jax.random.normal(
+        kt, (bs, tags, mcfg.seq_length, mcfg.feat_size), dtype)
+    img = jax.random.normal(ki, (bs, mcfg.max_imgs, mcfg.feat_size), dtype)
+    tgts = jnp.zeros((bs, tags), jnp.int32)
+    mask = jnp.ones((bs, tags), jnp.bool_)
+    params = jax.jit(ScoreModel(mcfg, dtype).init)(kp, text[:, :2], img)
+    if serve_int8:
+        from lr2ppo_tpu.ops.int8 import quantize_tree
+
+        params = quantize_tree(params, dtype)  # once, at model load
+    else:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    def step():
+        scores, rows = _scores_and_ndcg(model.apply, params, text, img,
+                                        tgts, mask)
+        # host fetch = the only reliable barrier through the tunnel
+        return float(jnp.sum(scores)) + float(jnp.sum(rows))
+
+    for _ in range(warmup):
+        step()
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = time.perf_counter()
+        step()
+        lat.append(time.perf_counter() - s)
+    dt = time.perf_counter() - t0
+    return {
+        "items_per_s": round(bs * iters / dt, 2),
+        "tags_per_s": round(bs * tags * iters / dt, 2),
+        "batch_latency_ms_p50": round(sorted(lat)[len(lat) // 2] * 1e3, 2),
+        "bs": bs, "tags": tags, "int8": serve_int8,
+    }
+
+
 def _probe_device(timeout_s: int = 150, attempts: int = 3,
                   retry_wait_s: int = 90) -> None:
     """Fail with a clear message when the TPU backend is unreachable
@@ -421,6 +485,16 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--bs":
         print("RESULT", run(int(sys.argv[2])))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--serve":
+        bs = int(sys.argv[2]) if len(sys.argv) >= 3 else 32
+        tags = int(sys.argv[3]) if len(sys.argv) >= 4 else 20
+        r = run_serve(bs, tags)
+        print(json.dumps({
+            "metric": "lr2ppo_serving_throughput",
+            "value": r["items_per_s"],
+            "unit": "items/s",
+            **r,
+        }))
     elif len(sys.argv) >= 2 and sys.argv[1] == "--e2e":
         bs = int(sys.argv[2]) if len(sys.argv) >= 3 else 256
         r = run_e2e(bs)

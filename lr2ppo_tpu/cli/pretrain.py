@@ -196,7 +196,10 @@ def main(argv=None):
     p.add_argument("--vqgan_model_path", default=None,
                    help="taming VQModel checkpoint for beit/dalle "
                         "(random-weight tokenizer without it)")
-    p.add_argument("--max_audio_frames", type=int, default=256)
+    # None sentinel so explicitness is read off the parsed value (an
+    # argv scan misses argparse prefix abbreviations like --max_audio);
+    # precedence: 256 default < tower JSON < explicit CLI
+    p.add_argument("--max_audio_frames", type=int, default=None)
     p.add_argument("--total_steps", type=int, default=None)
     p.add_argument("--epochs_num", type=int, default=1)
     p.add_argument("--report_steps", type=int, default=100)
@@ -210,6 +213,11 @@ def main(argv=None):
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
                         "dropout site (ops/hash_dropout.py)")
+    p.add_argument("--ckpt_backend", default="pickle",
+                   choices=["pickle", "orbax", "orbax_async"],
+                   help="checkpoint form for save-best/.state/step "
+                        "files (train/checkpoints.py); resume "
+                        "auto-detects either")
     from lr2ppo_tpu.config import _parse_bool
 
     # same syntax as every config-based CLI: bare `--distributed` or
@@ -280,14 +288,11 @@ def main(argv=None):
                               TowerConfig().max_seq_length)
     # speech pos tables size by max_audio_frames (reference
     # pos_embedding.py:12-14); precedence defaults < JSON < explicit CLI
-    # (scan the argv actually parsed, in both --flag v and --flag=v form)
-    import sys as _sys
-
-    _argv = _sys.argv[1:] if argv is None else list(argv)
-    _explicit = any(a == "--max_audio_frames"
-                    or a.startswith("--max_audio_frames=") for a in _argv)
-    _maf = (args.max_audio_frames if _explicit
-            else _raw_tower.get("max_audio_frames", args.max_audio_frames))
+    _maf = (args.max_audio_frames if args.max_audio_frames is not None
+            else _raw_tower.get("max_audio_frames", 256))
+    # the dataset builders read args.max_audio_frames — keep it equal to
+    # the value the tower's pos tables are sized for
+    args.max_audio_frames = _maf
     tower_cfg = TowerConfig.from_json(
         args.tower_config, vocab_size=vocab_size,
         max_seq_length=max(args.seq_length, _raw_msl),
@@ -311,7 +316,7 @@ def main(argv=None):
         report_steps=args.report_steps, seed=args.seed,
         output_model_path=args.output_model_path, log_path=args.log_path,
         pretrained_model_path=args.pretrained_model_path,
-        resume_path=args.resume_path)
+        resume_path=args.resume_path, ckpt_backend=args.ckpt_backend)
     cfg.optim.learning_rate = args.learning_rate
     cfg.mesh.dp = args.dp
     cfg.mesh.tp = args.tp

@@ -184,7 +184,13 @@ class MovieNetDataset:
             if self._ram is None:
                 ram: Dict[str, tuple] = {}
                 h5 = self.h5
-                for iid in self.targets_of:
+                # only items that produced examples: ppo mode skips
+                # 1-tag items and reward_eval skips class-deficient
+                # ones AFTER registering them in targets_of — caching
+                # those would hold multi-GB of embeddings no example
+                # ever reads
+                live = {ex[0] for ex in self.examples}
+                for iid in (i for i in self.targets_of if i in live):
                     grp = h5[str(iid)]
                     text = np.asarray(grp["text_emb"][:]).astype(
                         self.item_dtype, copy=False)

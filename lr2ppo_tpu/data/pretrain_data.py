@@ -20,21 +20,42 @@ def mask_tokens(ids: np.ndarray, seg: np.ndarray, vocab_size: int,
                 mask_id: int, rng: np.random.Generator,
                 mlm_prob: float = 0.15, keep_prob: float = 0.1,
                 random_prob: float = 0.1,
-                special_limit: int = 5) -> tuple:
+                special_limit: int = 5,
+                exclude_ids: tuple = ()) -> tuple:
     """BERT-style dynamic masking (reference utils/mask.py): select
     ~mlm_prob of real tokens; 80% -> [MASK], 10% -> random id,
-    10% -> unchanged. Returns (src, tgt) with tgt=0 on unselected."""
+    10% -> unchanged. Returns (src, tgt) with tgt=0 on unselected.
+
+    `exclude_ids` are the frame/special ids the reference excludes by
+    IDENTITY (CLS/SEP/MASK/PAD, mask.py:40,113) — required when the
+    active vocab's specials don't sit below `special_limit` (e.g. a
+    BERT layout with [CLS]=101/[SEP]=102): such positions must be
+    neither maskable nor drawable as random replacements."""
     src = ids.copy()
     tgt = np.zeros_like(ids)
+    ex = np.asarray(sorted(set(exclude_ids)), ids.dtype)
     real = (seg > 0) & (ids >= special_limit)
+    if ex.size:
+        real &= ~np.isin(ids, ex)
     sel = real & (rng.random(ids.shape) < mlm_prob)
     tgt[sel] = ids[sel]
     r = rng.random(ids.shape)
     to_mask = sel & (r < 1.0 - keep_prob - random_prob)
     to_rand = sel & (r >= 1.0 - random_prob)
     src[to_mask] = mask_id
-    src[to_rand] = rng.integers(special_limit, vocab_size,
-                                size=int(to_rand.sum()))
+    draws = rng.integers(special_limit, vocab_size,
+                         size=int(to_rand.sum()))
+    # re-map draws that land on an excluded id (the reference redraws,
+    # mask.py:38-41): step +1 with wraparound until clear — at most
+    # len(ex) consecutive ids can be excluded, so len(ex)+1 passes
+    # always terminate
+    for _ in range(ex.size + 1):
+        hit = np.isin(draws, ex)
+        if not hit.any():
+            break
+        draws[hit] = special_limit + (
+            draws[hit] + 1 - special_limit) % (vocab_size - special_limit)
+    src[to_rand] = draws
     return src, tgt
 
 
@@ -54,6 +75,9 @@ class MlmCorpusDataset:
         self.epoch = 0
         self.mlm_prob = mlm_prob
         self.special_limit = special_limit
+        # frame ids are excluded from masking by identity, not only by
+        # the low-id heuristic (reference mask.py:40,113)
+        self.exclude_ids = (cls_id, sep_id, pad_id, mask_id)
 
         rows, lens = [], []
         with open(corpus_path, encoding="utf-8") as f:
@@ -88,7 +112,8 @@ class MlmCorpusDataset:
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
         src, tgt = mask_tokens(self.ids[i], self.seg[i], self.vocab_size,
                                self.mask_id, rng, self.mlm_prob,
-                               special_limit=self.special_limit)
+                               special_limit=self.special_limit,
+                               exclude_ids=self.exclude_ids)
         return {"src": src, "tgt": tgt, "seg": self.seg[i]}
 
 

@@ -113,8 +113,11 @@ class _MaskedPairDataset:
     def _mask(self, src, seg, i):
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
+        # module globals read at call time: set_special_ids may realign
+        # the frame layout after construction
         return mask_tokens(src, seg, self.vocab_size, self.mask_id, rng,
-                           self.mlm_prob, special_limit=self.special_limit)
+                           self.mlm_prob, special_limit=self.special_limit,
+                           exclude_ids=(CLS, SEP, PAD, self.mask_id))
 
 
 class BertDocsDataset(_MaskedPairDataset):
@@ -437,7 +440,11 @@ class T5CorpusDataset:
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
         ids, seg = self.ids[i], self.seg[i]
-        real = (seg > 0) & (ids >= self.special_limit)
+        # specials excluded by identity too: a BERT-layout vocab has
+        # CLS/SEP above special_limit and they must keep their framing
+        # (the reference never masks them, utils/mask.py)
+        real = ((seg > 0) & (ids >= self.special_limit)
+                & ~np.isin(ids, (CLS, SEP, PAD)))
         sel = real & (rng.random(ids.shape) < self.mlm_prob)
         if not sel.any():  # force at least one corrupted token
             cand = np.flatnonzero(real)
@@ -592,7 +599,8 @@ class BartDocsDataset:
         src_c: List[int] = [CLS]
         prev_mask = False
         for j, t in enumerate(src_ids):
-            if sel[j] and t >= self.special_limit:
+            if sel[j] and t >= self.special_limit and t not in (
+                    CLS, SEP, PAD, self.mask_id):
                 if not prev_mask:
                     src_c.append(self.mask_id)
                 prev_mask = True
@@ -655,7 +663,8 @@ class ViltPairsDataset:
         src, seg_text = self.texts[i]
         masked, tgt_text = mask_tokens(
             src, seg_text, self.vocab_size, self.mask_id, rng,
-            self.mlm_prob, special_limit=self.special_limit)
+            self.mlm_prob, special_limit=self.special_limit,
+            exclude_ids=(CLS, SEP, PAD, self.mask_id))
         if rng.random() < 0.5 or len(self.pairs) == 1:
             match, path = 1, self.pairs[i][1]
         else:

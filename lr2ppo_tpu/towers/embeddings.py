@@ -240,25 +240,35 @@ class SpeechEmbedding(nn.Module):
         return x
 
 
+def _gates(cfg) -> Sequence[str]:
+    """The embedding list the reference's constructor gates read: the
+    GLOBAL args.embedding (model_builder.py:30-33 constructs tgt-side
+    modules with the same args), threaded through cfg.gate_embedding
+    when TowerModel forks cfg for the decoder side. Falls back to the
+    per-side list (encoder side and dual streams, where the reference's
+    per-stream args make the two coincide)."""
+    return getattr(cfg, "gate_embedding", None) or cfg.embedding
+
+
 def _pos_rows(cfg) -> int:
     """Speech configs size position tables by the (sub-sampled) audio
     frame budget, not just text length (reference pos_embedding.py:12-14,
     sinusoidalpos_embedding.py:21-22)."""
-    if "speech" in cfg.embedding:
+    if "speech" in _gates(cfg):
         return max(cfg.max_seq_length, getattr(cfg, "max_audio_frames", 0))
     return cfg.max_seq_length
 
 
 _EMB_KINDS = {
     "word": lambda cfg, name: WordEmbedding(
-        cfg.vocab_size, cfg.emb_size, "sinusoidalpos" in cfg.embedding,
+        cfg.vocab_size, cfg.emb_size, "sinusoidalpos" in _gates(cfg),
         name=name),
     "pos": lambda cfg, name: PosEmbedding(_pos_rows(cfg), cfg.emb_size,
                                           name=name),
     "seg": lambda cfg, name: SegEmbedding(cfg.emb_size, name=name),
     "sinusoidalpos": lambda cfg, name: SinusoidalposEmbedding(
         _pos_rows(cfg), cfg.emb_size,
-        interleaved="speech" not in cfg.embedding, name=name),
+        interleaved="speech" not in _gates(cfg), name=name),
     "patch": lambda cfg, name: PatchEmbedding(
         cfg.emb_size, cfg.image_height, cfg.image_width, cfg.patch_size,
         cfg.channels_num, name=name),
@@ -269,7 +279,7 @@ _EMB_KINDS = {
         cfg.emb_size, cfg.image_height, cfg.image_width, cfg.patch_size,
         cfg.channels_num, name=name),
     "speech": lambda cfg, name: SpeechEmbedding(
-        cfg.emb_size, sinusoidalpos="sinusoidalpos" in cfg.embedding,
+        cfg.emb_size, sinusoidalpos="sinusoidalpos" in _gates(cfg),
         name=name),
 }
 

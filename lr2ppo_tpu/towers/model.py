@@ -63,6 +63,13 @@ class TowerConfig:
     # tgt embedding from args.tgt_embedding); None -> same as `embedding`.
     # s2t needs this: speech encoder embedding, word decoder embedding.
     tgt_embedding: Optional[List[str]] = None
+    # the reference constructs tgt-side embedding modules with the SAME
+    # global args (model_builder.py:30-33), so their internal gates
+    # ("speech" in args.embedding -> table size/layout, "sinusoidalpos"
+    # in args.embedding -> sqrt scale) read the ENCODER-side list even
+    # for the decoder. TowerModel threads that global list here when it
+    # forks cfg for the tgt embedding; None -> gate on `embedding`.
+    gate_embedding: Optional[List[str]] = None
     target: List[str] = field(default_factory=lambda: ["mlm"])
     mask: str = "fully_visible"
     layernorm_positioning: str = "post"
@@ -232,7 +239,8 @@ class TowerModel(nn.Module):
         self.encoder = build_encoder(self.cfg, self.dtype)
         if self.cfg.decoder:
             tgt_cfg = (dataclasses.replace(
-                self.cfg, embedding=self.cfg.tgt_embedding)
+                self.cfg, embedding=self.cfg.tgt_embedding,
+                gate_embedding=self.cfg.embedding)
                 if self.cfg.tgt_embedding else self.cfg)
             self.tgt_embedding = CompositeEmbedding(tgt_cfg)
             self.decoder_mod = TransformerDecoder(self.cfg, self.dtype)
