@@ -43,19 +43,24 @@ def mask_tokens(ids: np.ndarray, seg: np.ndarray, vocab_size: int,
     to_mask = sel & (r < 1.0 - keep_prob - random_prob)
     to_rand = sel & (r >= 1.0 - random_prob)
     src[to_mask] = mask_id
-    draws = rng.integers(special_limit, vocab_size,
-                         size=int(to_rand.sum()))
-    # re-map draws that land on an excluded id (the reference redraws,
-    # mask.py:38-41): step +1 with wraparound until clear — at most
-    # len(ex) consecutive ids can be excluded, so len(ex)+1 passes
-    # always terminate
-    for _ in range(ex.size + 1):
-        hit = np.isin(draws, ex)
-        if not hit.any():
-            break
-        draws[hit] = special_limit + (
-            draws[hit] + 1 - special_limit) % (vocab_size - special_limit)
-    src[to_rand] = draws
+    # uniform over the ALLOWED ids, like the reference's rejection
+    # redraw (mask.py:38-41): draw from the reduced range, then shift
+    # past each excluded value in ascending order — every allowed id
+    # keeps equal probability (a nudge-to-neighbor remap would pile the
+    # whole excluded mass onto the id after each excluded run)
+    ex_in = ex[(ex >= special_limit) & (ex < vocab_size)]
+    n_allowed = (vocab_size - special_limit) - ex_in.size
+    n_draw = int(to_rand.sum())
+    if n_draw:
+        if n_allowed <= 0:
+            raise ValueError(
+                f"no drawable ids: exclude_ids covers the whole "
+                f"[{special_limit}, {vocab_size}) range")
+        draws = rng.integers(special_limit, special_limit + n_allowed,
+                             size=n_draw)
+        for e in ex_in:                      # ex is sorted
+            draws[draws >= e] += 1
+        src[to_rand] = draws
     return src, tgt
 
 

@@ -102,6 +102,11 @@ class _MaskedPairDataset:
         self.epoch = 0
         self.mlm_prob = mlm_prob
         self.special_limit = special_limit
+        # snapshot the frame ids the instances are about to be built
+        # with: a later set_special_ids (e.g. a second tokenizer in the
+        # same process) must not desynchronize masking from data that
+        # was framed under the previous layout
+        self.frame_ids = (CLS, SEP, PAD)
         self.instances: List[Tuple[np.ndarray, np.ndarray, np.int32]] = []
 
     def set_epoch(self, epoch: int) -> None:
@@ -113,11 +118,9 @@ class _MaskedPairDataset:
     def _mask(self, src, seg, i):
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
-        # module globals read at call time: set_special_ids may realign
-        # the frame layout after construction
         return mask_tokens(src, seg, self.vocab_size, self.mask_id, rng,
                            self.mlm_prob, special_limit=self.special_limit,
-                           exclude_ids=(CLS, SEP, PAD, self.mask_id))
+                           exclude_ids=(*self.frame_ids, self.mask_id))
 
 
 class BertDocsDataset(_MaskedPairDataset):
@@ -267,6 +270,7 @@ class BilmCorpusDataset:
 
     def __init__(self, corpus_path: str, tokenizer, seq_length: int):
         self.seq_length = seq_length
+        self.cls, self.sep, self.pad = CLS, SEP, PAD  # frame snapshot
         rows = []
         with open(corpus_path, encoding="utf-8") as f:
             for line in f:
@@ -287,26 +291,28 @@ class BilmCorpusDataset:
         S = self.seq_length
         chunk = self.rows[i]
         n = len(chunk)
-        src = np.full(S, PAD, np.int32)
+        src = np.full(S, self.pad, np.int32)
         src[:n] = chunk
         seg = np.zeros(S, np.int32)
         seg[:n] = 1
         fwd = np.zeros(S, np.int32)
         fwd[: n - 1] = chunk[1:]
-        fwd[n - 1] = SEP
+        fwd[n - 1] = self.sep
         bwd = np.zeros(S, np.int32)
-        bwd[0] = CLS
+        bwd[0] = self.cls
         bwd[1:n] = chunk[: n - 1]
         return {"src": src, "tgt_fwd": fwd, "tgt_bwd": bwd, "seg": seg}
 
 
 def _seq2seq_item(src_ids: List[int], tgt_ids: List[int],
-                  seq_length: int, tgt_seq_length: int
-                  ) -> Dict[str, np.ndarray]:
+                  seq_length: int, tgt_seq_length: int,
+                  pad_id: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Pack encoder/decoder ids into the fixed 5-key seq2seq batch
     (dataloader.py MtDataloader semantics: tgt_in/tgt_out are the
-    shifted decoder stream, targets 0 on padding)."""
-    src = np.full(seq_length, PAD, np.int32)
+    shifted decoder stream, targets 0 on padding). Callers that build
+    items at get()-time pass their init-time pad snapshot via pad_id."""
+    pad = PAD if pad_id is None else pad_id
+    src = np.full(seq_length, pad, np.int32)
     seg = np.zeros(seq_length, np.int32)
     s = src_ids[:seq_length]
     src[: len(s)] = s
@@ -314,7 +320,7 @@ def _seq2seq_item(src_ids: List[int], tgt_ids: List[int],
 
     full = tgt_ids[: tgt_seq_length + 1]
     n = len(full)
-    tgt_in = np.full(tgt_seq_length, PAD, np.int32)
+    tgt_in = np.full(tgt_seq_length, pad, np.int32)
     tgt_in[: min(n, tgt_seq_length)] = full[:tgt_seq_length]
     tgt_out = np.zeros(tgt_seq_length, np.int32)
     tgt_out[: n - 1] = full[1:]
@@ -420,6 +426,7 @@ class T5CorpusDataset:
         base = MlmCorpusDataset(corpus_path, tokenizer, seq_length,
                                 vocab_size, mask_id=0, cls_id=CLS,
                                 sep_id=SEP, pad_id=PAD, seed=seed)
+        self.cls, self.sep, self.pad = CLS, SEP, PAD  # frame snapshot
         self.ids, self.seg = base.ids, base.seg
         self.seq_length = seq_length
         self.tgt_seq_length = tgt_seq_length
@@ -444,7 +451,7 @@ class T5CorpusDataset:
         # CLS/SEP above special_limit and they must keep their framing
         # (the reference never masks them, utils/mask.py)
         real = ((seg > 0) & (ids >= self.special_limit)
-                & ~np.isin(ids, (CLS, SEP, PAD)))
+                & ~np.isin(ids, (self.cls, self.sep, self.pad)))
         sel = real & (rng.random(ids.shape) < self.mlm_prob)
         if not sel.any():  # force at least one corrupted token
             cand = np.flatnonzero(real)
@@ -452,7 +459,7 @@ class T5CorpusDataset:
                 sel[cand[int(rng.integers(0, cand.size))]] = True
 
         src_c: List[int] = []
-        tgt: List[int] = [CLS]
+        tgt: List[int] = [self.cls]
         sentinel = self.sentinel_start
         last = self.sentinel_start + self.n_sentinels - 1
         in_span = False
@@ -470,15 +477,15 @@ class T5CorpusDataset:
                 src_c.append(int(ids[j]))
                 in_span = False
         tgt.append(sentinel)
-        tgt.append(SEP)
+        tgt.append(self.sep)
 
-        src = np.full(self.seq_length, PAD, np.int32)
+        src = np.full(self.seq_length, self.pad, np.int32)
         src[: len(src_c)] = src_c[: self.seq_length]
         seg_out = np.zeros(self.seq_length, np.int32)
         seg_out[: min(len(src_c), self.seq_length)] = 1
 
         item = _seq2seq_item([], tgt, self.seq_length,
-                             self.tgt_seq_length)
+                             self.tgt_seq_length, pad_id=self.pad)
         item["src"], item["seg"] = src, seg_out
         return item
 
@@ -559,6 +566,7 @@ class BartDocsDataset:
         self.epoch = 0
         self.mlm_prob = mlm_prob
         self.special_limit = special_limit
+        self.cls, self.sep, self.pad = CLS, SEP, PAD  # frame snapshot
         docs = read_documents(corpus_path, tokenizer)
         rng = np.random.default_rng(seed)
         self.pairs: List[Tuple[List[int], List[int]]] = []
@@ -596,20 +604,21 @@ class BartDocsDataset:
             (self.seed * 1_000_003 + self.epoch) * 1_000_003 + i)
         src_ids, tgt_ids = self.pairs[i]
         sel = rng.random(len(src_ids)) < self.mlm_prob
-        src_c: List[int] = [CLS]
+        src_c: List[int] = [self.cls]
         prev_mask = False
         for j, t in enumerate(src_ids):
             if sel[j] and t >= self.special_limit and t not in (
-                    CLS, SEP, PAD, self.mask_id):
+                    self.cls, self.sep, self.pad, self.mask_id):
                 if not prev_mask:
                     src_c.append(self.mask_id)
                 prev_mask = True
             else:
                 src_c.append(int(t))
                 prev_mask = False
-        src_c.append(SEP)
-        item = _seq2seq_item(src_c, [CLS] + tgt_ids + [SEP],
-                             self.seq_length, self.seq_length)
+        src_c.append(self.sep)
+        item = _seq2seq_item(src_c, [self.cls] + tgt_ids + [self.sep],
+                             self.seq_length, self.seq_length,
+                             pad_id=self.pad)
         return item
 
 
@@ -636,6 +645,7 @@ class ViltPairsDataset:
         self.epoch = 0
         self.mlm_prob = mlm_prob
         self.special_limit = special_limit
+        self.frame_ids = (CLS, SEP, PAD)  # snapshot at framing time
         self.texts = []
         for text, _ in self.pairs:
             ids = [CLS] + tokenizer.encode(text)[: seq_length - 2] + [SEP]
@@ -664,7 +674,7 @@ class ViltPairsDataset:
         masked, tgt_text = mask_tokens(
             src, seg_text, self.vocab_size, self.mask_id, rng,
             self.mlm_prob, special_limit=self.special_limit,
-            exclude_ids=(CLS, SEP, PAD, self.mask_id))
+            exclude_ids=(*self.frame_ids, self.mask_id))
         if rng.random() < 0.5 or len(self.pairs) == 1:
             match, path = 1, self.pairs[i][1]
         else:

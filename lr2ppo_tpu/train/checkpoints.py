@@ -66,8 +66,15 @@ _XIT_TAILS = {
 _TRUNK_MODULES = ("text_proj", "img_proj", "out_layer", "xit")
 
 
-def _route(torch_key: str):
-    """torch state_dict key -> flax path tuple (inside one model)."""
+def _route(torch_key: str, two_data: bool = False):
+    """torch state_dict key -> flax path tuple (inside one model).
+
+    `two_data`: the 2-data model's projections are TOP-LEVEL flax
+    modules (models/scorer.py:189-196 names text_proj/text_proj3 beside
+    the trunk), while the multimodal model's text_proj lives inside the
+    trunk — the bare key is ambiguous, so torch_to_flax detects the
+    2-data layout from the state_dict (text_proj3 only exists there,
+    reference pointwise_2data_trad.py:136-151)."""
     parts = torch_key.split(".")
     head_mod = parts[0]
     if head_mod in ("xit", "xitt"):
@@ -80,8 +87,10 @@ def _route(torch_key: str):
         return ("xitt",) + flax_tail
     if head_mod in ("text_proj", "img_proj", "out_layer") or head_mod.startswith("text_proj"):
         leaf = "kernel" if parts[-1] == "weight" else "bias"
-        base = (("trunk", head_mod) if head_mod in _TRUNK_MODULES
-                else (head_mod,))  # text_proj3 of the 2-data model is top-level
+        in_trunk = head_mod in _TRUNK_MODULES and not (
+            two_data and head_mod == "text_proj")
+        base = (("trunk", head_mod) if in_trunk
+                else (head_mod,))  # 2-data text_projN are top-level
         return base + (parts[1], leaf)
     if head_mod == "head":
         leaf = "kernel" if parts[-1] == "weight" else "bias"
@@ -102,10 +111,13 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray]) -> dict:
     For the 2-data model, text_proj/text_proj3 are placed at the top level
     to mirror TwoDataScoreModel.
     """
+    # 2-data layout iff the second projection exists (it always does in
+    # that model; no other reference model has a text_proj3)
+    two_data = any(k.startswith("text_proj3") for k in state_dict)
     tree: dict = {}
     for k, v in state_dict.items():
         arr = np.asarray(v)
-        path = _route(k)
+        path = _route(k, two_data)
         if _is_linear_weight(path):
             arr = arr.T
         node = tree
@@ -116,8 +128,6 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray]) -> dict:
         # (tensor.numpy() is a view) — an in-place torch update would
         # then silently mutate the "imported" flax tree
         node[path[-1]] = jnp.asarray(np.array(arr, copy=True))
-    # 2-data model fix-up: if there is no img_proj/xit duality issue the
-    # trunk/xit placement already matches; text_projN keys landed top-level.
     return {"params": tree}
 
 
@@ -135,7 +145,7 @@ def split_actor_critic(state_dict: Dict[str, np.ndarray]):
     return actor, critic
 
 
-def flax_to_torch(params: dict, two_data: bool = False) -> Dict[str, np.ndarray]:
+def flax_to_torch(params: dict) -> Dict[str, np.ndarray]:
     """Inverse mapping: flax params -> reference-keyed numpy state_dict."""
     tree = params.get("params", params)
     flat = {}

@@ -95,18 +95,31 @@ class DeviceCtx:
         return shard_params(tree, self.mesh)
 
 
+def save_train_state(path: str, state: TrainState, step: int, best,
+                     backend: str = "pickle") -> None:
+    """The single-model resumable .state payload (one shape for
+    pointwise/two-data/reward/pretrain; resume_fit_state reads it).
+    PPO's _save_state extends it with the second TrainState and its
+    rollout counters."""
+    checkpoints.save_checkpoint(
+        path,
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": step, "best": best},
+        {"step": step}, backend=backend)
+
+
 def load_state_tree(path: str):
-    """Backend-aware full-state load: pickle file or orbax directory."""
-    import pickle
+    """Backend-aware full-state load: pickle file or orbax directory
+    (the same dispatch as checkpoints.load_any, shared here so the two
+    sniffers cannot diverge)."""
+    import os
 
     # an orbax_async save may still be committing `path` in the
     # background; settle so the resume sees the finished directory
     checkpoints.wait_for_async_saves()
-    try:
-        return checkpoints.load_checkpoint(path)
-    except (pickle.UnpicklingError, UnicodeDecodeError,
-            IsADirectoryError, PermissionError):
+    if os.path.isdir(path):             # orbax backends write directories
         return checkpoints.load_orbax_checkpoint(path)
+    return checkpoints.load_checkpoint(path)
 
 
 def restore_train_state(ctx: DeviceCtx, tx, params_tree, opt_tree,

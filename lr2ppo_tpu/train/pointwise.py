@@ -34,6 +34,7 @@ from lr2ppo_tpu.train.common import (
     init_state,
     peek_batch,
     resume_fit_state,
+    save_train_state,
 )
 from lr2ppo_tpu.train.evaluate import evaluate_ndcg, format_ndcg
 from lr2ppo_tpu.train.optim import build_optimizer
@@ -132,12 +133,9 @@ class PointwiseTrainer:
                 step += 1
                 trace.tick(step)
                 if cfg.save_state_steps and step % cfg.save_state_steps == 0:
-                    checkpoints.save_checkpoint(
-                        cfg.output_model_path + ".state",
-                        {"params": state.params,
-                         "opt_state": state.opt_state, "step": step,
-                         "best": saver.best},
-                        {"step": step}, backend=cfg.ckpt_backend)
+                    save_train_state(cfg.output_model_path + ".state",
+                                     state, step, saver.best,
+                                     cfg.ckpt_backend)
                 if step % cfg.report_steps == 0:
                     loss_v = check_finite(
                         float(loss), step,
@@ -244,12 +242,9 @@ class TwoDataTrainer(PointwiseTrainer):
                     step += 1
                     if (cfg.save_state_steps
                             and step % cfg.save_state_steps == 0):
-                        checkpoints.save_checkpoint(
-                            cfg.output_model_path + ".state",
-                            {"params": state.params,
-                             "opt_state": state.opt_state, "step": step,
-                             "best": saver.best},
-                            {"step": step}, backend=cfg.ckpt_backend)
+                        save_train_state(cfg.output_model_path + ".state",
+                                         state, step, saver.best,
+                                         cfg.ckpt_backend)
                     if step % cfg.report_steps == 0:
                         loss_v = check_finite(
                             float(loss), step,

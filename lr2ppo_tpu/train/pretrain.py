@@ -24,7 +24,7 @@ from lr2ppo_tpu.towers.model import TowerConfig, TowerModel
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.common import (
     BestSaver, DeviceCtx, TrainState, apply_updates, burn_keys,
-    init_state, peek_batch)
+    init_state, peek_batch, save_train_state)
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, check_finite, init_logger
 
@@ -175,6 +175,13 @@ class PretrainTrainer:
         cfg = self.cfg
         steps_per_epoch = len(train_loader)
         total = total_steps or steps_per_epoch * cfg.epochs_num
+        # an explicit --total_steps is the training budget (the
+        # reference trainer cycles the stream until total_steps,
+        # trainer.py:95-178) — cycle extra epochs rather than silently
+        # stopping at epochs_num with the schedule still mid-warmup
+        epochs = cfg.epochs_num
+        if total_steps:
+            epochs = max(epochs, -(-total_steps // max(steps_per_epoch, 1)))
         tx = build_optimizer(cfg.optim, total)
         first = peek_batch(train_loader)
         rows = next(v for k, v in first.items()
@@ -218,7 +225,7 @@ class PretrainTrainer:
             else "", self.logger, backend=cfg.ckpt_backend)
         saver.best = max(saver.best, resume_best)
         tokens_since, t_last = 0, time.perf_counter()
-        for epoch in range(start_epoch, cfg.epochs_num + 1):
+        for epoch in range(start_epoch, epochs + 1):
             train_loader.set_epoch(epoch)
             batch_iter = iter(train_loader)
             if epoch == start_epoch and skip_batches:
@@ -251,12 +258,9 @@ class PretrainTrainer:
                 if save_checkpoint_steps and step % save_checkpoint_steps == 0:
                     # resumable via --resume_path (same payload shape as
                     # the other trainers' .state checkpoints)
-                    checkpoints.save_checkpoint(
-                        f"{cfg.output_model_path}-{step}",
-                        {"params": state.params,
-                         "opt_state": state.opt_state, "step": step,
-                         "best": saver.best},
-                        {"step": step}, backend=cfg.ckpt_backend)
+                    save_train_state(f"{cfg.output_model_path}-{step}",
+                                     state, step, saver.best,
+                                     cfg.ckpt_backend)
                 if step >= total:
                     break
             if step >= total:

@@ -22,14 +22,17 @@ from lr2ppo_tpu.ops import reward_pair_hinge_loss
 from lr2ppo_tpu.train import checkpoints
 from lr2ppo_tpu.train.common import (
     BestSaver, DeviceCtx, TrainState, apply_updates, burn_keys,
-    init_state, peek_batch)
+    init_state, peek_batch, save_train_state)
 from lr2ppo_tpu.train.optim import build_optimizer
 from lr2ppo_tpu.utils import MetricLogger, check_finite, init_logger
 
 
 def make_train_step(model, tx, margin: float):
+    # note: no `tgts` — the pairwise hinge is label-free (the labels are
+    # baked into the chosen/reject index orderings by the dataset,
+    # reference reward_pair_dataloader.py:127-143)
     @jax.jit
-    def train_step(state: TrainState, rng, text, img, tgts, chosen, reject):
+    def train_step(state: TrainState, rng, text, img, chosen, reject):
         def loss_fn(params):
             r1, r2 = jax.random.split(rng)
             cs = model.apply(params, text, img, chosen, False,
@@ -49,7 +52,7 @@ def make_train_step(model, tx, margin: float):
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _eval_step(model_apply, params, text, img, tgts, chosen, reject):
+def _eval_step(model_apply, params, text, img, chosen, reject):
     cs = model_apply(params, text, img, chosen)
     rs = model_apply(params, text, img, reject)
     return (cs > rs).astype(jnp.float32)
@@ -64,7 +67,7 @@ def evaluate_pairwise(model, params, eval_loader, put=None) -> float:
         b = put(batch) if put else {k: jnp.asarray(v)
                                     for k, v in batch.items()}
         hits = _eval_step(model.apply, params, b["text"], b.get("img"),
-                          b["tgts"], b["chosen_index"], b["reject_index"])
+                          b["chosen_index"], b["reject_index"])
         from lr2ppo_tpu.parallel.mesh import fetch_global
 
         hits = fetch_global(hits)[valid]
@@ -124,6 +127,7 @@ class RewardTrainer:
         # burn the TOTAL completed steps, not the in-epoch remainder:
         # the stream splits once per step across all epochs
         key = burn_keys(key, step)
+        last_eval_step = -1
         for epoch in range(start_epoch, cfg.epochs_num + 1):
             train_loader.set_epoch(epoch)
             batch_iter = iter(train_loader)
@@ -135,16 +139,13 @@ class RewardTrainer:
                 b = self.ctx.put(batch)
                 key, sub = jax.random.split(key)
                 state, loss, acc = train_step(
-                    state, sub, b["text"], b.get("img"), b["tgts"],
+                    state, sub, b["text"], b.get("img"),
                     b["chosen_index"], b["reject_index"])
                 step += 1
                 if cfg.save_state_steps and step % cfg.save_state_steps == 0:
-                    checkpoints.save_checkpoint(
-                        cfg.output_model_path + ".state",
-                        {"params": state.params,
-                         "opt_state": state.opt_state, "step": step,
-                         "best": saver.best},
-                        {"step": step}, backend=cfg.ckpt_backend)
+                    save_train_state(cfg.output_model_path + ".state",
+                                     state, step, saver.best,
+                                     cfg.ckpt_backend)
                 if step % cfg.report_steps == 0:
                     loss_v = check_finite(
                         float(loss), step,
@@ -157,10 +158,16 @@ class RewardTrainer:
                     self.logger.info(f"val accuracy: {val_acc:.4f}")
                     self.metrics.log(step, loss=loss_v, acc=val_acc)
                     saver.maybe_save(val_acc, state.params)
-            val_acc = evaluate_pairwise(self.model, state.params, eval_loader,
-                                        put=self.ctx.put_eval)
-            self.logger.info(f"epoch {epoch} val accuracy: {val_acc:.4f}")
-            saver.maybe_save(val_acc, state.params)
+                    last_eval_step = step
+            # skip the epoch-end eval when the epoch's last step just
+            # ran the identical full pass at the report cadence
+            if step != last_eval_step:
+                val_acc = evaluate_pairwise(self.model, state.params,
+                                            eval_loader,
+                                            put=self.ctx.put_eval)
+                self.logger.info(
+                    f"epoch {epoch} val accuracy: {val_acc:.4f}")
+                saver.maybe_save(val_acc, state.params)
         # orbax_async: settle pending background saves before returning
         checkpoints.wait_for_async_saves()
         self.logger.info(f"Best Acc: {saver.best}")

@@ -57,6 +57,36 @@ def test_seq_model_roundtrip_through_file(tmp_path):
                                rtol=1e-6)
 
 
+def test_two_data_roundtrip_through_file(tmp_path):
+    """2-data model interop: text_proj is a TOP-LEVEL flax module in
+    TwoDataScoreModel (models/scorer.py:189-196) but lives in the trunk
+    of the multimodal model — torch_to_flax must detect the 2-data
+    layout (text_proj3 exists only there) and route it top-level, or
+    the imported tree fails the first apply."""
+    from lr2ppo_tpu.models import TwoDataScoreModel
+
+    cfg = ModelConfig(family="tabular", trad_dims=(5, 9), **TINY)
+    m = TwoDataScoreModel(cfg)
+    k = jax.random.PRNGKey(2)
+    t5 = jnp.ones((2, 3, 5))
+    t9 = jnp.ones((2, 3, 9))
+    trees = [m.init(k, t5), m.init(k, t9)]
+    merged = dict(trees[0]["params"])
+    for key, v in trees[1]["params"].items():
+        merged.setdefault(key, v)
+    params = {"params": merged}
+    sd = flax_to_torch(params)
+    assert "text_proj.fc1.weight" in sd and "text_proj3.fc1.weight" in sd
+    path = str(tmp_path / "two_data.bin")
+    save_torch_compatible(path, params)
+    loaded = import_pretrained(path)
+    _trees_equal(params["params"], loaded["params"])
+    for x in (t5, t9):
+        np.testing.assert_allclose(np.asarray(m.apply(params, x)),
+                                   np.asarray(m.apply(loaded, x)),
+                                   rtol=1e-6)
+
+
 def test_exported_keys_match_reference_convention(tmp_path):
     cfg = ModelConfig(**TINY)
     m = ScoreModel(cfg)

@@ -149,6 +149,64 @@ class TestMaskSpecialsByIdentity:
             hits += int(changed.sum())
         assert hits > 0  # replacements actually happened
 
+    def test_random_replacement_uniform_over_allowed(self):
+        """The redraw must stay UNIFORM over allowed ids like the
+        reference's rejection loop (mask.py:38-41) — remapping excluded
+        draws onto a neighbor would pile their whole mass onto the id
+        after each excluded run."""
+        from lr2ppo_tpu.data.pretrain_data import mask_tokens
+
+        rng = np.random.default_rng(0)
+        ids = np.full(6000, 6, np.int32)
+        seg = np.ones_like(ids)
+        src, _ = mask_tokens(ids, seg, vocab_size=15, mask_id=3, rng=rng,
+                             mlm_prob=1.0, keep_prob=0.0, random_prob=1.0,
+                             special_limit=5, exclude_ids=(7, 8, 14))
+        vals, counts = np.unique(src, return_counts=True)
+        assert not set(vals.tolist()) & {7, 8, 14}
+        # 7 allowed ids, ~857 expected each; a neighbor-remap would give
+        # id 9 three shares (~2571)
+        assert counts.max() < 1.5 * counts.min(), dict(
+            zip(vals.tolist(), counts.tolist()))
+
+    def test_frame_ids_snapshotted_at_construction(self):
+        """set_special_ids AFTER a dataset is built must not
+        desynchronize masking/framing from the instances that were
+        framed under the previous layout."""
+        from lr2ppo_tpu.data import pretrain_processors as pp
+        from lr2ppo_tpu.data.pretrain_processors import T5CorpusDataset
+
+        class Tok:
+            vocab = {str(i): i for i in range(40)}
+
+            def encode(self, text):
+                return [10 + (sum(map(ord, w)) % 20)
+                        for w in text.split()]
+
+        old = (pp.CLS, pp.PAD, pp.SEP)
+        pp.set_special_ids(cls_id=7, pad_id=1, sep_id=9)
+        try:
+            import os
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as d:
+                path = os.path.join(d, "c.txt")
+                with open(path, "w") as f:
+                    f.write("a b c d e f\n" * 10)
+                ds = T5CorpusDataset(path, Tok(), seq_length=16,
+                                     tgt_seq_length=24, vocab_size=40,
+                                     sentinel_start=40, seed=3,
+                                     mlm_prob=0.5)
+                # layout flips AFTER construction (second tokenizer in
+                # the same process) — the built instances keep theirs
+                pp.set_special_ids(cls_id=0, pad_id=1, sep_id=2)
+                for i in range(len(ds)):
+                    item = ds.get(i)
+                    assert item["src"][0] == 7
+                    assert item["tgt_in"][0] == 7  # decoder CLS
+        finally:
+            pp.set_special_ids(*old)
+
     def test_t5_keeps_bert_layout_framing(self):
         """With specials realigned to a BERT-ish layout (cls=7, sep=9 —
         both above special_limit=5), T5 masking must never collapse the
@@ -274,6 +332,89 @@ def test_max_audio_frames_abbreviation_is_explicit(tmp_path):
     assert table.shape[0] == 32, (
         f"pos table {table.shape}: the tower was sized by the JSON's "
         "max_audio_frames, not the explicit (abbreviated) CLI flag")
+
+
+def test_pretrain_total_steps_cycles_epochs(tmp_path):
+    """An explicit total_steps is the training budget: the reference
+    trainer cycles the stream until total_steps (trainer.py:95-178);
+    epochs_num must not silently truncate it mid-schedule."""
+    from lr2ppo_tpu.config import Config
+    from lr2ppo_tpu.data.pipeline import Loader
+    from lr2ppo_tpu.towers.model import TowerConfig
+    from lr2ppo_tpu.train.pretrain import PretrainTrainer
+
+    class Ds:
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return 8
+
+        def get(self, i):
+            rng = np.random.default_rng(i)
+            src = rng.integers(5, 30, 8).astype(np.int32)
+            tgt = np.where(rng.random(8) < 0.3, src, 0).astype(np.int32)
+            return {"src": src, "tgt": tgt, "seg": np.ones(8, np.int32)}
+
+    cfg = Config().replace(epochs_num=1, batch_size=4, report_steps=100,
+                           output_model_path="", seed=0)
+    cfg.mesh.dp = 2
+    tcfg = TowerConfig(emb_size=16, hidden_size=16, feedforward_size=32,
+                       heads_num=4, layers_num=1, max_seq_length=16,
+                       vocab_size=32)
+    tr = PretrainTrainer(cfg, tcfg)
+    # 2 steps/epoch; 7 total steps needs 4 cycles despite epochs_num=1
+    state, _ = tr.fit(Loader(Ds(), 4, shuffle=False), total_steps=7)
+    assert int(state.step) == 7
+
+
+def test_reward_epoch_end_eval_not_duplicated(tmp_path, monkeypatch):
+    """When the epoch's last step hits the report cadence, the epoch-end
+    eval must not re-run the identical full validation pass."""
+    import h5py
+
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.data.movienet import MovieNetDataset
+    from lr2ppo_tpu.data.pipeline import Loader
+    from lr2ppo_tpu.train import reward as reward_mod
+
+    h5p = tmp_path / "feat.h5"
+    data = []
+    with h5py.File(h5p, "w") as f:
+        for i in range(4):
+            iid = f"it{i}"
+            data.append({"id": iid,
+                         "tags": [{"tag": "a", "target": 1},
+                                  {"tag": "b", "target": 0},
+                                  {"tag": "c", "target": 2}],
+                         "index": [[0, 1], [1, 2]]})
+            g = f.create_group(iid)
+            g["text_emb"] = np.random.default_rng(i).standard_normal(
+                (3, 4, 16)).astype(np.float32)
+            g["img_emb"] = np.random.default_rng(i + 9).standard_normal(
+                (1, 2, 16)).astype(np.float32)
+    cfg = Config().replace(
+        model=ModelConfig(feat_size=16, seq_length=4, max_imgs=2,
+                          visual_feat_dim=16, num_heads=4,
+                          family="multimodal"),
+        epochs_num=1, batch_size=4, report_steps=1,
+        output_model_path=str(tmp_path / "best.ckpt"), seed=3)
+    cfg.mesh.dp = 2
+    tr_ds = MovieNetDataset(None, str(h5p), "reward", max_imgs=2,
+                            data=data)
+    ev_ds = MovieNetDataset(None, str(h5p), "reward_eval", max_tags=2,
+                            max_imgs=2, data=data)
+    calls = []
+    real = reward_mod.evaluate_pairwise
+    monkeypatch.setattr(
+        reward_mod, "evaluate_pairwise",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    tr = reward_mod.RewardTrainer(cfg)
+    tr.fit(Loader(tr_ds, 4, shuffle=True), Loader(ev_ds, 4))
+    steps = len(tr_ds) // 4
+    # report_steps=1 evals at EVERY step incl. the epoch's last —
+    # the epoch-end pass must be skipped, not doubled
+    assert len(calls) == steps, (len(calls), steps)
 
 
 def test_movienet_preload_skips_exampleless_items(tmp_path):

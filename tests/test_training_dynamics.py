@@ -271,7 +271,7 @@ def test_reward_training_trajectory_matches_reference():
     ours, our_accs = [], []
     for text, img, tgts, chosen, reject in batches:
         state, loss, acc = step(state, key, jnp.asarray(text),
-                                jnp.asarray(img), jnp.asarray(tgts),
+                                jnp.asarray(img),
                                 jnp.asarray(chosen), jnp.asarray(reject))
         ours.append(float(loss))
         our_accs.append(float(acc))
