@@ -209,6 +209,9 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel split of qkv/FFN matmuls")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: dp-shard the Adam moments "
+                        "(parallel/mesh.py:shard_optimizer)")
     p.add_argument("--compute_dtype", default="float32")
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
@@ -320,6 +323,7 @@ def main(argv=None):
     cfg.optim.learning_rate = args.learning_rate
     cfg.mesh.dp = args.dp
     cfg.mesh.tp = args.tp
+    cfg.mesh.zero1 = args.zero1
     cfg.mesh.compute_dtype = args.compute_dtype
 
     trainer = PretrainTrainer(cfg, tower_cfg, args.accumulation_steps,

@@ -182,6 +182,12 @@ class MeshConfig:
 
     dp: int = -1   # -1: use all devices on the dp axis
     tp: int = 1
+    # ZeRO stage 1 (parallel/mesh.py:shard_optimizer): partition the
+    # persistent Adam moments across dp instead of replicating them —
+    # frees (dp-1)/dp of the optimizer-state HBM on every chip; the
+    # update math is unchanged (XLA all-gathers the weight update over
+    # ICI). No-op at dp=1.
+    zero1: bool = False
     compute_dtype: str = "float32"   # 'bfloat16' for the fast path
     param_dtype: str = "float32"
     # Multi-host launch (the torchrun replacement, misc.py:77-91): run
@@ -380,6 +386,7 @@ _FLAG_ROUTES = {
     "item_dtype": ("data", "item_dtype"),
     "dp": ("mesh", "dp"),
     "tp": ("mesh", "tp"),
+    "zero1": ("mesh", "zero1"),
     "compute_dtype": ("mesh", "compute_dtype"),
     "distributed": ("mesh", "distributed"),
     "jax_platform": ("mesh", "jax_platform"),

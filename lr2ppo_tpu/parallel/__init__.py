@@ -4,6 +4,9 @@ from lr2ppo_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     param_shardings,
     shard_params,
+    shard_opt_state,
+    shard_optimizer,
+    opt_state_shardings,
     put_batch,
     put_global,
     global_put,

@@ -182,6 +182,93 @@ def param_shardings(params, mesh: Mesh, check_coverage: bool = True):
     )
 
 
+# Optimizer-state leaves below this size stay replicated under zero1:
+# sharding a 3072-element bias saves nothing and costs a collective,
+# and scalar leaves (Adam count, schedule steps) cannot shard at all.
+ZERO1_MIN_ELEMENTS = 2 ** 16
+
+
+def _zero_spec(path, leaf, mesh) -> P:
+    """PartitionSpec for one optimizer-state leaf under zero1: start
+    from the param's tp spec (moment trees mirror the param paths, so
+    the `_RULES` suffix match applies unchanged), then shard the
+    LARGEST still-unsharded axis that divides the dp size. Leaves with
+    no dp-divisible free axis (or below ZERO1_MIN_ELEMENTS) keep the
+    base spec — correct, just unsharded."""
+    base = _spec_for(path)
+    dp = mesh.shape.get("dp", 1)
+    shape = tuple(getattr(leaf, "shape", ()))
+    if dp <= 1 or not shape or int(np.prod(shape)) < ZERO1_MIN_ELEMENTS:
+        return base
+    entries = list(base) + [None] * (len(shape) - len(base))
+    free = [i for i in range(len(shape))
+            if entries[i] is None and shape[i] % dp == 0]
+    if not free:
+        return base
+    entries[max(free, key=lambda i: shape[i])] = "dp"
+    return P(*entries)
+
+
+def opt_state_shardings(opt_state, mesh: Mesh):
+    """NamedSharding tree for an optimizer-state pytree under zero1
+    (ZeRO stage 1: the persistent Adam moments — 2x params, the largest
+    single HBM resident after the params themselves — are partitioned
+    across the dp axis instead of replicated on every dp rank)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _zero_spec(path, leaf,
+                                                          mesh)),
+        opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Place an optimizer-state pytree with zero1 shardings (host or
+    device values; multi-host pods assemble from the replicated host
+    copy the way shard_params does)."""
+    shardings = opt_state_shardings(opt_state, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(opt_state, shardings)
+    return jax.tree.map(global_put, opt_state, shardings)
+
+
+def shard_optimizer(tx, mesh: Mesh):
+    """ZeRO-1 wrapper around an optax GradientTransformation: the
+    returned tx's state lives dp-sharded on the mesh.
+
+    TPU-native form of DeepSpeed/FSDP optimizer-state sharding: the
+    moments are *placed* sharded at init and the update keeps them
+    sharded via `with_sharding_constraint`; XLA compiles the data
+    movement — each dp rank updates only its slice of the moments from
+    the (already psum-reduced, hence identical) gradients, and the
+    weight update is all-gathered back to the replicated params over
+    ICI. Persistent HBM for the moments drops by (dp-1)/dp; the math is
+    bit-identical to the unsharded update (same grads, same per-element
+    moment arithmetic, only the placement differs).
+
+    `init` must run OUTSIDE jit (it device_puts); every trainer calls
+    it eagerly via init_state. `update` runs inside the jitted step.
+    """
+    import optax
+
+    def init(params):
+        st = tx.init(params)
+        # under tracing (restore_train_state's eval_shape probes the
+        # state STRUCTURE through init) there is nothing to place
+        if any(isinstance(leaf, jax.core.Tracer)
+               for leaf in jax.tree.leaves(st)):
+            return st
+        return shard_opt_state(st, mesh)
+
+    def update(updates, state, params=None):
+        upd, new_state = tx.update(updates, state, params)
+        new_state = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(mesh, _zero_spec(path, leaf, mesh))),
+            new_state)
+        return upd, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def global_put(x, sharding: NamedSharding):
     """`device_put` that also works when `sharding` spans devices this
     process cannot address (a multi-host pod). Every process must hold

@@ -42,10 +42,13 @@ class DeviceCtx:
     the f32 inputs alone pushed full-scale training out of memory)."""
 
     def __init__(self, dp: int = -1, tp: int = 1, enabled: bool = True,
-                 cast_dtype=None):
+                 cast_dtype=None, zero1: bool = False):
         self.mesh = make_mesh(dp, tp) if enabled else None
         self.cast_dtype = (jnp.dtype(cast_dtype)
                            if cast_dtype is not None else None)
+        # zero1 is meaningful only with a real dp axis to shard over
+        self.zero1 = bool(zero1 and self.mesh is not None
+                          and self.mesh.shape.get("dp", 1) > 1)
 
     def _cast(self, v):
         v = np.asarray(v)
@@ -94,6 +97,28 @@ class DeviceCtx:
             return tree
         return shard_params(tree, self.mesh)
 
+    def place_opt(self, tree):
+        """Optimizer-state placement: zero1 dp-shards the moments,
+        otherwise the param rules apply (moment trees mirror the param
+        paths, so the same tp specs match)."""
+        if self.mesh is None:
+            return tree
+        if self.zero1:
+            from lr2ppo_tpu.parallel import shard_opt_state
+
+            return shard_opt_state(tree, self.mesh)
+        return shard_params(tree, self.mesh)
+
+    def wrap_optimizer(self, tx):
+        """ZeRO-1 (cfg.mesh.zero1): return a tx whose state is placed
+        and kept dp-sharded (parallel/mesh.py:shard_optimizer); identity
+        when zero1 is off or there is no dp axis."""
+        if not self.zero1:
+            return tx
+        from lr2ppo_tpu.parallel import shard_optimizer
+
+        return shard_optimizer(tx, self.mesh)
+
 
 def save_train_state(path: str, state: TrainState, step: int, best,
                      backend: str = "pickle") -> None:
@@ -139,7 +164,7 @@ def restore_train_state(ctx: DeviceCtx, tx, params_tree, opt_tree,
     # and two states sharing one step buffer break donation ("attempt
     # to donate the same buffer twice") in steps that donate both
     step_arr = jnp.asarray(np.asarray(step, np.int32)) + 0
-    return TrainState(params, ctx.place_params(opt_tree), step_arr)
+    return TrainState(params, ctx.place_opt(opt_tree), step_arr)
 
 
 class BestSaver:

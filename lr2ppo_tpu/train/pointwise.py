@@ -73,7 +73,8 @@ class PointwiseTrainer:
         dtype = jnp.dtype(cfg.mesh.compute_dtype)
         self.model = model or ScoreModel(cfg.model, dtype)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
-                             cast_dtype=cfg.mesh.compute_dtype)
+                             cast_dtype=cfg.mesh.compute_dtype,
+                             zero1=cfg.mesh.zero1)
 
     def init_params(self, sample_batch: Dict[str, np.ndarray], seed: int):
         cfg = self.cfg
@@ -92,7 +93,7 @@ class PointwiseTrainer:
         steps_per_epoch = len(train_loader)
         total = train_steps or int(
             steps_per_epoch * cfg.epochs_num) + 1
-        tx = build_optimizer(cfg.optim, total)
+        tx = self.ctx.wrap_optimizer(build_optimizer(cfg.optim, total))
 
         step = 0
         start_epoch, skip_batches = 1, 0
@@ -202,7 +203,7 @@ class TwoDataTrainer(PointwiseTrainer):
         cfg = self.cfg
         steps_per_epoch = sum(len(l) for l in loaders)
         total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
-        tx = build_optimizer(cfg.optim, total)
+        tx = self.ctx.wrap_optimizer(build_optimizer(cfg.optim, total))
         step, start_epoch, skip_batches = 0, 1, 0
         resume_best = -np.inf
         if cfg.resume_path:

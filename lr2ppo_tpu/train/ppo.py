@@ -182,7 +182,8 @@ class PPOTrainer:
         self.r_critic = (SeqScoreModel(int8_mcfg, dtype)
                          if cfg.ppo.rollout_int8 else self.critic)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
-                             cast_dtype=cfg.mesh.compute_dtype)
+                             cast_dtype=cfg.mesh.compute_dtype,
+                             zero1=cfg.mesh.zero1)
         from lr2ppo_tpu.ops import gae_advantages
 
         self._gae_jit = partial(jax.jit, static_argnums=(3, 4))(
@@ -263,9 +264,9 @@ class PPOTrainer:
         # schedulers tick once per sweep (ppo.py:612-613): remap the
         # optimizer-step axis to sweeps inside the shared builder
         def mk(base_lr):
-            return build_optimizer(
+            return self.ctx.wrap_optimizer(build_optimizer(
                 cfg.optim, total, lr=base_lr,
-                schedule_wrap=lambda s: (lambda t: s(t // upd)))
+                schedule_wrap=lambda s: (lambda t: s(t // upd))))
         atx, ctx_tx = mk(cfg.optim.learning_rate), mk(
             cfg.optim.critic_learning_rate)
 

@@ -132,7 +132,8 @@ class PretrainTrainer:
         dtype = jnp.dtype(cfg.mesh.compute_dtype)
         self.model = TowerModel(tower_cfg, dtype)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
-                             cast_dtype=cfg.mesh.compute_dtype)
+                             cast_dtype=cfg.mesh.compute_dtype,
+                             zero1=cfg.mesh.zero1)
 
     def init_params(self, sample):
         if self.cfg.pretrained_model_path:
@@ -182,7 +183,7 @@ class PretrainTrainer:
         epochs = cfg.epochs_num
         if total_steps:
             epochs = max(epochs, -(-total_steps // max(steps_per_epoch, 1)))
-        tx = build_optimizer(cfg.optim, total)
+        tx = self.ctx.wrap_optimizer(build_optimizer(cfg.optim, total))
         first = peek_batch(train_loader)
         rows = next(v for k, v in first.items()
                     if not k.startswith("_")).shape[0]

@@ -89,7 +89,8 @@ class RewardTrainer:
         self.margin = margin if margin is not None else (
             1.0 if cfg.model.family == "multimodal" else 0.01)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
-                             cast_dtype=cfg.mesh.compute_dtype)
+                             cast_dtype=cfg.mesh.compute_dtype,
+                             zero1=cfg.mesh.zero1)
 
     def init_params(self, sample_batch, seed: int):
         cfg = self.cfg
@@ -107,7 +108,7 @@ class RewardTrainer:
         cfg = self.cfg
         steps_per_epoch = len(train_loader)
         total = train_steps or int(steps_per_epoch * cfg.epochs_num) + 1
-        tx = build_optimizer(cfg.optim, total)
+        tx = self.ctx.wrap_optimizer(build_optimizer(cfg.optim, total))
         step, start_epoch, skip_batches = 0, 1, 0
         resume_best = -np.inf
         if cfg.resume_path:
