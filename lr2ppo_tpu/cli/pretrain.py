@@ -212,6 +212,9 @@ def main(argv=None):
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: dp-shard the Adam moments "
                         "(parallel/mesh.py:shard_optimizer)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="FSDP/ZeRO-3: store params dp-sharded (implies "
+                        "--zero1; parallel/mesh.py:shard_params_fsdp)")
     p.add_argument("--compute_dtype", default="float32")
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
@@ -324,6 +327,7 @@ def main(argv=None):
     cfg.mesh.dp = args.dp
     cfg.mesh.tp = args.tp
     cfg.mesh.zero1 = args.zero1
+    cfg.mesh.fsdp = args.fsdp
     cfg.mesh.compute_dtype = args.compute_dtype
 
     trainer = PretrainTrainer(cfg, tower_cfg, args.accumulation_steps,

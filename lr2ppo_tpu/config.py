@@ -188,6 +188,13 @@ class MeshConfig:
     # update math is unchanged (XLA all-gathers the weight update over
     # ICI). No-op at dp=1.
     zero1: bool = False
+    # FSDP / ZeRO stage 3 (parallel/mesh.py:shard_params_fsdp): params
+    # are STORED dp-sharded — XLA all-gathers each weight at use and
+    # reduce-scatters its grads into the dp-sharded optimizer update.
+    # Frees ~(dp-1)/dp of the param HBM per chip for one all-gather per
+    # weight per step; implies zero1 (the moments follow the params'
+    # layout). No-op at dp=1.
+    fsdp: bool = False
     compute_dtype: str = "float32"   # 'bfloat16' for the fast path
     param_dtype: str = "float32"
     # Multi-host launch (the torchrun replacement, misc.py:77-91): run
@@ -387,6 +394,7 @@ _FLAG_ROUTES = {
     "dp": ("mesh", "dp"),
     "tp": ("mesh", "tp"),
     "zero1": ("mesh", "zero1"),
+    "fsdp": ("mesh", "fsdp"),
     "compute_dtype": ("mesh", "compute_dtype"),
     "distributed": ("mesh", "distributed"),
     "jax_platform": ("mesh", "jax_platform"),

@@ -182,19 +182,20 @@ def param_shardings(params, mesh: Mesh, check_coverage: bool = True):
     )
 
 
-# Optimizer-state leaves below this size stay replicated under zero1:
-# sharding a 3072-element bias saves nothing and costs a collective,
-# and scalar leaves (Adam count, schedule steps) cannot shard at all.
+# Leaves below this size stay replicated under zero1/fsdp: sharding a
+# 3072-element bias saves nothing and costs a collective, and scalar
+# leaves (Adam count, schedule steps) cannot shard at all.
 ZERO1_MIN_ELEMENTS = 2 ** 16
 
 
 def _zero_spec(path, leaf, mesh) -> P:
-    """PartitionSpec for one optimizer-state leaf under zero1: start
-    from the param's tp spec (moment trees mirror the param paths, so
-    the `_RULES` suffix match applies unchanged), then shard the
-    LARGEST still-unsharded axis that divides the dp size. Leaves with
-    no dp-divisible free axis (or below ZERO1_MIN_ELEMENTS) keep the
-    base spec — correct, just unsharded."""
+    """PartitionSpec composing dp onto a leaf's free axis — the shared
+    layout rule for zero1 (optimizer moments) and fsdp (params; the
+    moment trees mirror the param paths, so one rule keeps both layouts
+    identical): start from the tp spec (`_RULES` suffix match), then
+    shard the LARGEST still-unsharded axis that divides the dp size.
+    Leaves with no dp-divisible free axis (or below ZERO1_MIN_ELEMENTS)
+    keep the base spec — correct, just unsharded."""
     base = _spec_for(path)
     dp = mesh.shape.get("dp", 1)
     shape = tuple(getattr(leaf, "shape", ()))
@@ -225,14 +226,56 @@ def shard_opt_state(opt_state, mesh: Mesh):
     device values; multi-host pods assemble from the replicated host
     copy the way shard_params does)."""
     shardings = opt_state_shardings(opt_state, mesh)
+
+    def place(x, sh):
+        # fsdp fast path (required on pods): tx.init's zeros_like
+        # moments inherit the params' dp-sharded layout, which IS the
+        # target (_zero_spec is the shared rule) — global_put would
+        # np.asarray a non-addressable global array and fail
+        if getattr(x, "sharding", None) == sh:
+            return x
+        return global_put(x, sh)
+
     if jax.process_count() == 1:
         return jax.device_put(opt_state, shardings)
-    return jax.tree.map(global_put, opt_state, shardings)
+    return jax.tree.map(place, opt_state, shardings)
 
 
-def shard_optimizer(tx, mesh: Mesh):
+def fsdp_param_shardings(params, mesh: Mesh, check_coverage: bool = True):
+    """NamedSharding tree for a PARAM pytree under fsdp (ZeRO-3 on the
+    XLA SPMD partitioner: params are STORED dp-sharded — each kernel
+    partitioned on a free axis across the dp ranks — and the compiler
+    inserts the all-gather at use and the reduce-scatter of the grads
+    feeding the dp-sharded optimizer update; per-chip param HBM drops by
+    ~(dp-1)/dp at the cost of one all-gather per weight per step. The
+    torch analogue is FSDP/DeepSpeed ZeRO-3; here it is a placement
+    rule, not a wrapper module — the train step code is unchanged)."""
+    if check_coverage:
+        assert_tp_coverage(params, mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _zero_spec(path, leaf,
+                                                          mesh)),
+        params)
+
+
+def shard_params_fsdp(params, mesh: Mesh):
+    """Place a param pytree with fsdp shardings (host or device values;
+    pods assemble from the replicated host copy like shard_params)."""
+    shardings = fsdp_param_shardings(params, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(params, shardings)
+    return jax.tree.map(global_put, params, shardings)
+
+
+def shard_optimizer(tx, mesh: Mesh, constrain_updates: bool = False):
     """ZeRO-1 wrapper around an optax GradientTransformation: the
     returned tx's state lives dp-sharded on the mesh.
+
+    `constrain_updates=True` (the fsdp leg) additionally pins the
+    RETURNED updates to the same dp-composed layout: the update tree
+    mirrors the param paths, so `optax.apply_updates(params, updates)`
+    becomes sharded+sharded elementwise and the new params keep the fsdp
+    placement through the jitted step without re-gathering.
 
     TPU-native form of DeepSpeed/FSDP optimizer-state sharding: the
     moments are *placed* sharded at init and the update keeps them
@@ -264,6 +307,12 @@ def shard_optimizer(tx, mesh: Mesh):
             lambda path, leaf: jax.lax.with_sharding_constraint(
                 leaf, NamedSharding(mesh, _zero_spec(path, leaf, mesh))),
             new_state)
+        if constrain_updates:
+            upd = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: jax.lax.with_sharding_constraint(
+                    leaf, NamedSharding(mesh,
+                                        _zero_spec(path, leaf, mesh))),
+                upd)
         return upd, new_state
 
     return optax.GradientTransformation(init, update)

@@ -42,12 +42,17 @@ class DeviceCtx:
     the f32 inputs alone pushed full-scale training out of memory)."""
 
     def __init__(self, dp: int = -1, tp: int = 1, enabled: bool = True,
-                 cast_dtype=None, zero1: bool = False):
+                 cast_dtype=None, zero1: bool = False, fsdp: bool = False):
         self.mesh = make_mesh(dp, tp) if enabled else None
         self.cast_dtype = (jnp.dtype(cast_dtype)
                            if cast_dtype is not None else None)
-        # zero1 is meaningful only with a real dp axis to shard over
-        self.zero1 = bool(zero1 and self.mesh is not None
+        # zero1/fsdp are meaningful only with a real dp axis to shard
+        # over; fsdp implies zero1 (the moments follow the params'
+        # dp-sharded layout — parallel/mesh.py:_zero_spec is the shared
+        # rule for both trees)
+        self.fsdp = bool(fsdp and self.mesh is not None
+                         and self.mesh.shape.get("dp", 1) > 1)
+        self.zero1 = bool((zero1 or self.fsdp) and self.mesh is not None
                           and self.mesh.shape.get("dp", 1) > 1)
 
     def _cast(self, v):
@@ -95,6 +100,10 @@ class DeviceCtx:
     def place_params(self, tree):
         if self.mesh is None:
             return tree
+        if self.fsdp:
+            from lr2ppo_tpu.parallel import shard_params_fsdp
+
+            return shard_params_fsdp(tree, self.mesh)
         return shard_params(tree, self.mesh)
 
     def place_opt(self, tree):
@@ -112,12 +121,15 @@ class DeviceCtx:
     def wrap_optimizer(self, tx):
         """ZeRO-1 (cfg.mesh.zero1): return a tx whose state is placed
         and kept dp-sharded (parallel/mesh.py:shard_optimizer); identity
-        when zero1 is off or there is no dp axis."""
+        when zero1 is off and there is no fsdp. Under fsdp the updates
+        are ALSO constrained to the params' dp-sharded layout so the
+        new params keep the fsdp placement through the jitted step."""
         if not self.zero1:
             return tx
         from lr2ppo_tpu.parallel import shard_optimizer
 
-        return shard_optimizer(tx, self.mesh)
+        return shard_optimizer(tx, self.mesh,
+                               constrain_updates=self.fsdp)
 
 
 def save_train_state(path: str, state: TrainState, step: int, best,

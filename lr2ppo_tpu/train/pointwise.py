@@ -74,7 +74,8 @@ class PointwiseTrainer:
         self.model = model or ScoreModel(cfg.model, dtype)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype,
-                             zero1=cfg.mesh.zero1)
+                             zero1=cfg.mesh.zero1,
+                             fsdp=cfg.mesh.fsdp)
 
     def init_params(self, sample_batch: Dict[str, np.ndarray], seed: int):
         cfg = self.cfg

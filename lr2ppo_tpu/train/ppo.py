@@ -183,7 +183,8 @@ class PPOTrainer:
                          if cfg.ppo.rollout_int8 else self.critic)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype,
-                             zero1=cfg.mesh.zero1)
+                             zero1=cfg.mesh.zero1,
+                             fsdp=cfg.mesh.fsdp)
         from lr2ppo_tpu.ops import gae_advantages
 
         self._gae_jit = partial(jax.jit, static_argnums=(3, 4))(

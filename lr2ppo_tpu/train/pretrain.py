@@ -133,7 +133,8 @@ class PretrainTrainer:
         self.model = TowerModel(tower_cfg, dtype)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype,
-                             zero1=cfg.mesh.zero1)
+                             zero1=cfg.mesh.zero1,
+                             fsdp=cfg.mesh.fsdp)
 
     def init_params(self, sample):
         if self.cfg.pretrained_model_path:

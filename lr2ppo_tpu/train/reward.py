@@ -90,7 +90,8 @@ class RewardTrainer:
             1.0 if cfg.model.family == "multimodal" else 0.01)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype,
-                             zero1=cfg.mesh.zero1)
+                             zero1=cfg.mesh.zero1,
+                             fsdp=cfg.mesh.fsdp)
 
     def init_params(self, sample_batch, seed: int):
         cfg = self.cfg
