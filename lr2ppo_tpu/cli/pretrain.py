@@ -215,6 +215,12 @@ def main(argv=None):
     p.add_argument("--fsdp", action="store_true",
                    help="FSDP/ZeRO-3: store params dp-sharded (implies "
                         "--zero1; parallel/mesh.py:shard_params_fsdp)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="GPipe pipeline stages over the encoder layer "
+                        "stack (parallel/pipeline.py; 'simple' batch "
+                        "forms, composes with dp)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="pipeline microbatches per micro step (0 = --pp)")
     p.add_argument("--compute_dtype", default="float32")
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
@@ -328,6 +334,8 @@ def main(argv=None):
     cfg.mesh.tp = args.tp
     cfg.mesh.zero1 = args.zero1
     cfg.mesh.fsdp = args.fsdp
+    cfg.mesh.pp = args.pp
+    cfg.mesh.pp_microbatches = args.pp_microbatches
     cfg.mesh.compute_dtype = args.compute_dtype
 
     trainer = PretrainTrainer(cfg, tower_cfg, args.accumulation_steps,

@@ -195,6 +195,14 @@ class MeshConfig:
     # weight per step; implies zero1 (the moments follow the params'
     # layout). No-op at dp=1.
     fsdp: bool = False
+    # GPipe pipeline parallelism for tower pretraining
+    # (parallel/pipeline.py): the encoder's layer stack splits into pp
+    # contiguous stages, params stacked + sharded P("pp"), the forward a
+    # lax.scan GPipe schedule inside shard_map with ppermute hops over
+    # ICI. v1 composes with dp only (tp=1, zero1/fsdp off). No-op at 1.
+    pp: int = 1
+    # pipeline microbatches per (grad-accum) micro step; 0 -> pp
+    pp_microbatches: int = 0
     compute_dtype: str = "float32"   # 'bfloat16' for the fast path
     param_dtype: str = "float32"
     # Multi-host launch (the torchrun replacement, misc.py:77-91): run

@@ -254,6 +254,18 @@ class TowerModel(nn.Module):
             emb = self.embedding(src, seg, deterministic)
         return self.encoder(emb, seg, deterministic)
 
+    def embed_only(self, src, seg, deterministic: bool = True) -> Array:
+        """Embedding output WITHOUT the encoder — the pipeline-parallel
+        path (parallel/pipeline.py) runs the encoder stack itself as a
+        GPipe schedule; applying this method touches no encoder params,
+        so it binds against a tree whose layer stack was packed out."""
+        return self.embedding(src, seg, deterministic)
+
+    def target_only(self, memory, tgt, seg):
+        """Target head over a precomputed encoder output (the
+        pipeline-parallel companion of embed_only)."""
+        return self.target(memory, tgt, seg)
+
     def __call__(self, src, tgt, seg, tgt_in=None, tgt_seg=None,
                  deterministic: bool = True):
         memory = self.encode(src, seg, deterministic)

@@ -42,8 +42,18 @@ class DeviceCtx:
     the f32 inputs alone pushed full-scale training out of memory)."""
 
     def __init__(self, dp: int = -1, tp: int = 1, enabled: bool = True,
-                 cast_dtype=None, zero1: bool = False, fsdp: bool = False):
-        self.mesh = make_mesh(dp, tp) if enabled else None
+                 cast_dtype=None, zero1: bool = False, fsdp: bool = False,
+                 pp: int = 1):
+        if pp > 1 and enabled:
+            # GPipe pipeline mesh (parallel/pipeline.py): ('dp','pp')
+            # axes; placement routes stacked stage params to P('pp').
+            # check_pp_supported has already rejected tp/zero1/fsdp.
+            from lr2ppo_tpu.parallel.pipeline import make_pp_mesh
+
+            self.mesh = make_pp_mesh(dp, pp)
+        else:
+            self.mesh = make_mesh(dp, tp) if enabled else None
+        self.pp = pp if (pp > 1 and self.mesh is not None) else 1
         self.cast_dtype = (jnp.dtype(cast_dtype)
                            if cast_dtype is not None else None)
         # zero1/fsdp are meaningful only with a real dp axis to shard
@@ -100,6 +110,10 @@ class DeviceCtx:
     def place_params(self, tree):
         if self.mesh is None:
             return tree
+        if self.pp > 1:
+            from lr2ppo_tpu.parallel.pipeline import place_pipeline_tree
+
+            return place_pipeline_tree(tree, self.mesh)
         if self.fsdp:
             from lr2ppo_tpu.parallel import shard_params_fsdp
 
@@ -109,9 +123,14 @@ class DeviceCtx:
     def place_opt(self, tree):
         """Optimizer-state placement: zero1 dp-shards the moments,
         otherwise the param rules apply (moment trees mirror the param
-        paths, so the same tp specs match)."""
+        paths, so the same tp specs match — and under pp the same
+        STACK_KEY paths route the stacked moments to P('pp'))."""
         if self.mesh is None:
             return tree
+        if self.pp > 1:
+            from lr2ppo_tpu.parallel.pipeline import place_pipeline_tree
+
+            return place_pipeline_tree(tree, self.mesh)
         if self.zero1:
             from lr2ppo_tpu.parallel import shard_opt_state
 

@@ -71,14 +71,18 @@ def form_args(form: str, mb):
 
 
 def make_pretrain_step_form(model: TowerModel, tx, accum: int = 1,
-                            form: str = "simple"):
+                            form: str = "simple", loss_override=None):
     """Grad-accumulated train step over a dict batch whose leaves are
     (accum, micro_bs, ...) arrays; the micro-batch axis scans inside the
-    compiled program."""
+    compiled program. `loss_override(params, mb, mrng)` replaces the
+    plain model.apply loss (the pipeline-parallel path)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, rng, batch):
         def loss_fn(params, mb, mrng):
+            if loss_override is not None:
+                loss, correct, denom = loss_override(params, mb, mrng)
+                return loss, (correct, denom)
             out = model.apply({"params": params}, *form_args(form, mb),
                               deterministic=False, rngs={"dropout": mrng})
             rows = jax.tree.leaves(mb)[0].shape[0]
@@ -118,6 +122,26 @@ def make_pretrain_step(model: TowerModel, tx, accum: int = 1):
     return step
 
 
+def make_pretrain_step_pp(model: TowerModel, tower_cfg, tx, accum,
+                          mesh, pp: int, microbatches: int, dtype=None):
+    """Pipeline-parallel pretrain step ('simple' form): the encoder
+    stack runs the GPipe schedule over the mesh's pp axis
+    (parallel/pipeline.py), everything else — grad-accum scan, AdamW
+    update — is the ordinary step. `state.params` holds the PACKED
+    layout (STACK_KEY stages)."""
+    from lr2ppo_tpu.parallel.pipeline import make_pp_loss_apply
+
+    loss_apply = make_pp_loss_apply(model, tower_cfg, mesh, pp,
+                                    microbatches, dtype)
+
+    def pp_loss(params, mb, mrng):
+        return loss_apply({"params": params}, mb["src"], mb["tgt"],
+                          mb["seg"], mrng, deterministic=False)
+
+    return make_pretrain_step_form(model, tx, accum, "simple",
+                                   loss_override=pp_loss)
+
+
 class PretrainTrainer:
     def __init__(self, cfg: Config, tower_cfg: TowerConfig,
                  accumulation_steps: int = 1, use_mesh: bool = True,
@@ -131,21 +155,56 @@ class PretrainTrainer:
             cfg.log_path + ".jsonl" if cfg.log_path else None)
         dtype = jnp.dtype(cfg.mesh.compute_dtype)
         self.model = TowerModel(tower_cfg, dtype)
+        self.pp = max(cfg.mesh.pp, 1) if use_mesh else 1
+        if self.pp > 1:
+            from lr2ppo_tpu.parallel.pipeline import check_pp_supported
+
+            check_pp_supported(tower_cfg, cfg.mesh)
+            if form != "simple":
+                raise ValueError(
+                    f"--pp supports the 'simple' batch form "
+                    f"(mlm/lm/cls/vit); got {form!r}")
+            if jax.process_count() > 1:
+                raise ValueError("--pp is single-process in v1 "
+                                 "(pod assembly not wired)")
+        self.pp_micro = (cfg.mesh.pp_microbatches or self.pp)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype,
                              zero1=cfg.mesh.zero1,
-                             fsdp=cfg.mesh.fsdp)
+                             fsdp=cfg.mesh.fsdp, pp=self.pp)
 
     def init_params(self, sample):
         if self.cfg.pretrained_model_path:
             from lr2ppo_tpu.towers import load_tower_checkpoint
 
-            return self.ctx.place_params(
-                load_tower_checkpoint(self.cfg.pretrained_model_path))
-        mb = {k: jnp.asarray(v) for k, v in sample.items()}
-        params = self.model.init(jax.random.PRNGKey(self.cfg.seed),
-                                 *form_args(self.form, mb))
+            params = load_tower_checkpoint(self.cfg.pretrained_model_path)
+        else:
+            mb = {k: jnp.asarray(v) for k, v in sample.items()}
+            params = self.model.init(jax.random.PRNGKey(self.cfg.seed),
+                                     *form_args(self.form, mb))
+        if self.pp > 1:
+            # checkpoints are UNPACKED (per-layer) on disk; pack the
+            # stages host-side, then place_params routes the stack to
+            # P('pp')
+            from lr2ppo_tpu.parallel.pipeline import pack_pipeline_params
+
+            params = pack_pipeline_params(
+                params, self.tower_cfg.layers_num, self.pp)
         return self.ctx.place_params(params)
+
+    def _export_tree(self, params):
+        """Model-checkpoint form of `state.params`: pp runs unpack the
+        stages back to the per-layer layout (host-side), so -best and
+        final checkpoints stay byte-compatible with non-pp consumers and
+        the torch exporter. Periodic .state saves keep the packed layout
+        (resume with the same --pp)."""
+        if self.pp <= 1:
+            return params
+        from lr2ppo_tpu.parallel.pipeline import unpack_pipeline_params
+
+        return unpack_pipeline_params(
+            jax.tree.map(np.asarray, jax.device_get(params)),
+            self.tower_cfg.layers_num, self.pp)
 
     def _fold(self, batch):
         """(accum*micro, ...) host batch -> (accum, micro, ...) device
@@ -202,6 +261,13 @@ class PretrainTrainer:
                     f"global micro-batch {global_micro} "
                     f"(batch_size/accumulation_steps) must be divisible "
                     f"by dp={dp}")
+            if self.pp > 1:
+                m = self.pp_micro
+                if global_micro % m or (global_micro // m) % dp:
+                    raise ValueError(
+                        f"micro-batch {global_micro} must split into "
+                        f"--pp_microbatches={m} pipeline microbatches "
+                        f"each divisible by dp={dp}")
         step, start_epoch, skip_batches = 0, 1, 0
         resume_best = -np.inf
         if cfg.resume_path:
@@ -215,8 +281,14 @@ class PretrainTrainer:
             micro = {k: v[: v.shape[0] // self.accum]
                      for k, v in first.items() if not k.startswith("_")}
             state = init_state(self.init_params(micro), tx)
-        step_fn = make_pretrain_step_form(self.model, tx, self.accum,
-                                          self.form)
+        if self.pp > 1:
+            step_fn = make_pretrain_step_pp(
+                self.model, self.tower_cfg, tx, self.accum,
+                self.ctx.mesh, self.pp, self.pp_micro,
+                jnp.dtype(cfg.mesh.compute_dtype))
+        else:
+            step_fn = make_pretrain_step_form(self.model, tx, self.accum,
+                                              self.form)
         key = jax.random.PRNGKey(cfg.seed + 1)
         # burn the TOTAL completed steps, not the in-epoch remainder:
         # the stream splits once per step across all epochs
@@ -255,7 +327,7 @@ class PretrainTrainer:
                         f"acc {acc:.4f} | {tps:,.0f} tokens/s")
                     self.metrics.log(step, loss=loss, acc=acc, tokens_s=tps)
                     tokens_since, t_last = 0, time.perf_counter()
-                    saver.maybe_save(acc, state.params,
+                    saver.maybe_save(acc, self._export_tree(state.params),
                                      {"step": step, "acc": acc})
                 if save_checkpoint_steps and step % save_checkpoint_steps == 0:
                     # resumable via --resume_path (same payload shape as
@@ -268,7 +340,8 @@ class PretrainTrainer:
             if step >= total:
                 break
         if cfg.output_model_path:
-            checkpoints.save_checkpoint(cfg.output_model_path, state.params,
+            checkpoints.save_checkpoint(cfg.output_model_path,
+                                        self._export_tree(state.params),
                                         {"step": step},
                                         backend=cfg.ckpt_backend)
         # orbax_async: settle pending background saves before returning
