@@ -225,6 +225,10 @@ def main(argv=None):
     p.add_argument("--hash_dropout", action="store_true",
                    help="zero-residual hash dropout at every tower "
                         "dropout site (ops/hash_dropout.py)")
+    p.add_argument("--sp", action="store_true",
+                   help="sequence-parallel activation sharding over tp "
+                        "(Megatron-SP at layer granularity; requires "
+                        "--tp > 1)")
     p.add_argument("--ckpt_backend", default="pickle",
                    choices=["pickle", "orbax", "orbax_async"],
                    help="checkpoint form for save-best/.state/step "
@@ -305,11 +309,14 @@ def main(argv=None):
     # the dataset builders read args.max_audio_frames — keep it equal to
     # the value the tower's pos tables are sized for
     args.max_audio_frames = _maf
+    if args.sp and args.tp <= 1:
+        raise SystemExit("--sp shards the sequence over tp; pass --tp > 1")
     tower_cfg = TowerConfig.from_json(
         args.tower_config, vocab_size=vocab_size,
         max_seq_length=max(args.seq_length, _raw_msl),
         max_audio_frames=_maf,
-        **({"hash_dropout": True} if args.hash_dropout else {}))
+        **({"hash_dropout": True} if args.hash_dropout else {}),
+        **({"seq_parallel": True} if args.sp else {}))
     ds = str2dataset[args.data_processor](args.corpus_path, tok, args,
                                           tower_cfg)
     # reference accumulation semantics: each optimizer step consumes

@@ -88,13 +88,27 @@ class TransformerEncoder(nn.Module):
                 and not cfg.relative_position_embedding):
             key_bias = jnp.where(seg > 0, 0.0, -10000.0).astype(jnp.float32)
 
-        hidden, prev_attn = emb, None
+        # sequence-parallel residual stream (TowerConfig.seq_parallel):
+        # constrain the inter-layer activations to P('dp','tp') so they
+        # are STORED seq-sharded across tp and the LN/dropout/residual
+        # regions compute 1/tp of the tokens per chip; GSPMD inserts the
+        # seq all-gather at the attention boundary. Identity when sp is
+        # off (and a no-op without a mesh context / tp axis).
+        def sp(h):
+            if not getattr(cfg, "seq_parallel", False):
+                return h
+            from jax.sharding import PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(h, P("dp", "tp"))
+
+        hidden, prev_attn = sp(emb), None
         shared = layer("transformer") if cfg.parameter_sharing else None
         for i in range(cfg.layers_num):
             blk = shared if shared is not None else layer(f"transformer_{i}")
 
             hidden, prev_attn = blk(hidden, mask, position_bias,
                                     prev_attn, deterministic, key_bias)
+            hidden = sp(hidden)
             if not cfg.has_residual_attention:
                 prev_attn = None
 

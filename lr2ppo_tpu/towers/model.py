@@ -107,6 +107,15 @@ class TowerConfig:
     # fused pallas attention on deterministic fully-visible passes
     # (ops/pallas_attention.py) — the feature-precompute hot path
     pallas_attention: bool = False
+    # sequence-parallel activation sharding (--sp, Megatron-SP at layer
+    # granularity): the residual stream between encoder layers is
+    # constrained to P('dp', 'tp') — stored seq-sharded across the tp
+    # ranks, so the LayerNorm/dropout/residual regions hold and compute
+    # 1/tp of the tokens per chip; XLA inserts the seq all-gather at the
+    # attention boundary and the reduce-scatter after the row-parallel
+    # projections. Requires tp > 1 and an active mesh; numerics are
+    # unchanged (tests/test_sp.py pins tp=2+sp == tp=2).
+    seq_parallel: bool = False
 
     @classmethod
     def from_json(cls, path: str, **overrides) -> "TowerConfig":

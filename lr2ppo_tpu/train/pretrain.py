@@ -173,6 +173,17 @@ class PretrainTrainer:
                              zero1=cfg.mesh.zero1,
                              fsdp=cfg.mesh.fsdp, pp=self.pp)
 
+    def _mesh_ctx(self):
+        """Mesh context for traces that carry bare-PartitionSpec
+        sharding constraints (TowerConfig.seq_parallel): jax requires
+        `jax.set_mesh` around such traces. Null context otherwise."""
+        import contextlib
+
+        if (getattr(self.tower_cfg, "seq_parallel", False)
+                and self.ctx.mesh is not None):
+            return jax.set_mesh(self.ctx.mesh)
+        return contextlib.nullcontext()
+
     def init_params(self, sample):
         if self.cfg.pretrained_model_path:
             from lr2ppo_tpu.towers import load_tower_checkpoint
@@ -180,8 +191,10 @@ class PretrainTrainer:
             params = load_tower_checkpoint(self.cfg.pretrained_model_path)
         else:
             mb = {k: jnp.asarray(v) for k, v in sample.items()}
-            params = self.model.init(jax.random.PRNGKey(self.cfg.seed),
-                                     *form_args(self.form, mb))
+            with self._mesh_ctx():
+                params = self.model.init(
+                    jax.random.PRNGKey(self.cfg.seed),
+                    *form_args(self.form, mb))
         if self.pp > 1:
             # checkpoints are UNPACKED (per-layer) on disk; pack the
             # stages host-side, then place_params routes the stack to
@@ -309,7 +322,8 @@ class PretrainTrainer:
             for batch in batch_iter:
                 folded = self._fold(batch)
                 key, sub = jax.random.split(key)
-                state, m = step_fn(state, sub, folded)
+                with self._mesh_ctx():   # sp: bare-P constraints trace
+                    state, m = step_fn(state, sub, folded)
                 step += 1
                 tok_key = next(k for k in ("src", "src_text", "src_image")
                                if k in batch)
@@ -327,8 +341,14 @@ class PretrainTrainer:
                         f"acc {acc:.4f} | {tps:,.0f} tokens/s")
                     self.metrics.log(step, loss=loss, acc=acc, tokens_s=tps)
                     tokens_since, t_last = 0, time.perf_counter()
-                    saver.maybe_save(acc, self._export_tree(state.params),
-                                     {"step": step, "acc": acc})
+                    # mirror maybe_save's improvement test BEFORE the pp
+                    # export — _export_tree is a full device->host fetch
+                    # + unpack, far too costly to run on every report
+                    # step that isn't a new best
+                    if acc > saver.best:
+                        saver.maybe_save(acc,
+                                         self._export_tree(state.params),
+                                         {"step": step, "acc": acc})
                 if save_checkpoint_steps and step % save_checkpoint_steps == 0:
                     # resumable via --resume_path (same payload shape as
                     # the other trainers' .state checkpoints)
