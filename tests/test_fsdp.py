@@ -216,3 +216,65 @@ def test_fsdp_state_checkpoint_roundtrip(tmp_path, monkeypatch):
         if target_ctx.fsdp:
             k = restored.params["params"]["fc1"]["kernel"]
             assert "dp" in tuple(k.sharding.spec)
+
+
+@needs8
+def test_fsdp_ppo_step(monkeypatch):
+    """The stage-3 PPO rollout+update runs with ALL THREE param trees
+    fsdp-sharded (actor/critic trainable, frozen reward inference-only)
+    and the updated states keep the dp placement — the PPO-side leg of
+    the fsdp envelope (the dryrun covers zero1 there)."""
+    import jax.numpy as jnp
+
+    from lr2ppo_tpu.config import Config, ModelConfig
+    from lr2ppo_tpu.models import ScoreModel, SeqScoreModel
+    from lr2ppo_tpu.train.ppo import make_rollout_step, make_update_step
+
+    monkeypatch.setattr(mesh_mod, "ZERO1_MIN_ELEMENTS", 0)
+    ctx = DeviceCtx(dp=8, tp=1, fsdp=True)
+    mcfg = ModelConfig(family="multimodal", feat_size=32, seq_length=4,
+                       max_imgs=2, num_heads=2, mode="reg")
+    cfg = Config(model=mcfg)
+    actor = ScoreModel(mcfg, jnp.float32)
+    critic = SeqScoreModel(mcfg, jnp.float32)
+    reward = SeqScoreModel(mcfg, jnp.float32)
+
+    b, tags = 16, 2
+    rng = np.random.default_rng(0)
+    text = np.asarray(rng.standard_normal(
+        (b, tags, mcfg.seq_length, mcfg.feat_size)), np.float32)
+    img = np.asarray(rng.standard_normal(
+        (b, mcfg.max_imgs, mcfg.feat_size)), np.float32)
+    state0 = np.broadcast_to(np.arange(tags, dtype=np.int32),
+                             (b, tags)).copy()
+    idx4 = jnp.zeros((b, 4), jnp.int32)
+
+    ka, kc, kr = jax.random.split(jax.random.PRNGKey(0), 3)
+    tj, ij = jnp.asarray(text), jnp.asarray(img)
+    actor_p = ctx.place_params(actor.init(ka, tj, ij))
+    critic_p = ctx.place_params(critic.init(kc, tj, ij, idx4))
+    reward_p = ctx.place_params(reward.init(kr, tj, ij, idx4))
+    # the fsdp layout really landed on the trainable trees
+    assert any("dp" in tuple(l.sharding.spec)
+               for l in jax.tree.leaves(actor_p)
+               if getattr(l, "ndim", 0) >= 2)
+
+    tx = ctx.wrap_optimizer(build_optimizer(OptimConfig(), 10))
+    astate = init_state(actor_p, tx)
+    cstate = init_state(critic_p, tx)
+    textd, imgd, state0d = (ctx.put_array(x) for x in (text, img, state0))
+
+    rollout = make_rollout_step(actor, critic, reward, mcfg.mode)
+    scores, value, next_state, rew = rollout(
+        astate.params, cstate.params, reward_p, textd, imgd, state0d)
+    update = make_update_step(actor, critic, tx, tx, cfg)
+    astate2, cstate2, metrics = update(
+        astate, cstate, jax.random.PRNGKey(1), textd, imgd, state0d,
+        next_state, scores, rew, value)
+    for v in jax.tree.leaves(metrics):
+        assert np.isfinite(np.asarray(v)).all()
+    for st in (astate2, cstate2):
+        assert any("dp" in tuple(l.sharding.spec)
+                   for l in jax.tree.leaves(st.params)
+                   if getattr(l, "ndim", 0) >= 2), \
+            "params lost the fsdp placement through the PPO update"
