@@ -93,12 +93,19 @@ class TransformerEncoder(nn.Module):
         # are STORED seq-sharded across tp and the LN/dropout/residual
         # regions compute 1/tp of the tokens per chip; GSPMD inserts the
         # seq all-gather at the attention boundary. Identity when sp is
-        # off (and a no-op without a mesh context / tp axis).
+        # off — and genuinely a no-op without a dp×tp mesh in context:
+        # bare-PartitionSpec constraints RAISE outside jax.set_mesh (and
+        # under a mesh missing the axes, e.g. the GPipe ('dp','pp')
+        # mesh), so an sp-configured tower stays runnable for init/eval
+        # outside the training mesh.
         def sp(h):
             if not getattr(cfg, "seq_parallel", False):
                 return h
             from jax.sharding import PartitionSpec as P
 
+            cm = jax.sharding.get_abstract_mesh()
+            if cm.empty or not {"dp", "tp"} <= set(cm.axis_names):
+                return h
             return jax.lax.with_sharding_constraint(h, P("dp", "tp"))
 
         hidden, prev_attn = sp(emb), None

@@ -68,6 +68,30 @@ def test_sp_matches_tp_forward_and_grads():
                                    err_msg=str(pa))
 
 
+def test_sp_tower_runs_without_mesh_context():
+    """An sp-configured tower must stay runnable OUTSIDE jax.set_mesh
+    and under a mesh that lacks the tp axis (the GPipe ('dp','pp')
+    mesh): bare-PartitionSpec with_sharding_constraint raises in both
+    cases, so the encoder skips the constraint (towers/encoders.py sp()).
+    Regression for the round-4 dryrun_multichip red: the pp leg inits
+    the tower outside any mesh (__graft_entry__._dryrun_body)."""
+    src, tgt, seg = _batch()
+    model = TowerModel(_cfg(True))
+    # no mesh context at all (empty abstract mesh)
+    params = model.init(jax.random.PRNGKey(0), src, tgt, seg)
+    loss = model.apply(params, src, tgt, seg, deterministic=True)[0]
+    assert np.isfinite(float(loss))
+    # mesh in context without a tp axis
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("dp", "pp"))
+    with jax.set_mesh(mesh):
+        loss2 = jax.jit(lambda p: model.apply(
+            p, src, tgt, seg, deterministic=True)[0])(params)
+    np.testing.assert_allclose(float(loss2), float(loss), rtol=1e-6)
+
+
 @needs8
 def test_sp_train_step_matches(tmp_path):
     """One AdamW step with sp == without, through the real pretrain
