@@ -16,4 +16,5 @@ ENTRY_POINTS = (
     "preprocess_data",
     "preprocess",
     "pretrain",
+    "serve",
 )

@@ -94,6 +94,7 @@ class DataConfig:
     input_features_path: str = ""
     output_features_path: str = ""
     case_path: str = "case/ppo_cases.json"  # ppo_eval.py:457-459
+    ranking_path: str = "rankings.jsonl"    # cli/serve.py output stream
     embed_root: str = "LRMovieNet"   # dir holding clean_feat.h5 (ppo.py:65-66)
     max_tags: int = 32               # per-stage sampling width
     max_imgs: int = 16
@@ -367,6 +368,8 @@ _FLAG_ROUTES = {
     "input_features_path": ("data", "input_features_path"),
     "output_features_path": ("data", "output_features_path"),
     "case_path": ("data", "case_path"),
+    "ranking_path": ("data", "ranking_path"),
+    "int8": ("model", "int8"),
     "embed_root": ("data", "embed_root"),
     "max_tags": ("data", "max_tags"),
     "max_imgs": ("data", "max_imgs"),

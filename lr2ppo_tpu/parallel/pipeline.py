@@ -59,6 +59,9 @@ def check_pp_supported(cfg, mesh_cfg) -> None:
         bad.append("factorized_embedding_parameterization")
     if cfg.decoder:
         bad.append("decoder (pp covers the encoder stack)")
+    if getattr(cfg, "seq_parallel", False):
+        bad.append("seq_parallel (sp constrains over a dp×tp mesh; "
+                    "under the pp mesh it would be silently inert)")
     if cfg.layers_num % mesh_cfg.pp:
         bad.append(f"layers_num={cfg.layers_num} % pp={mesh_cfg.pp} != 0")
     if mesh_cfg.tp != 1:

@@ -93,17 +93,25 @@ class TransformerEncoder(nn.Module):
         # are STORED seq-sharded across tp and the LN/dropout/residual
         # regions compute 1/tp of the tokens per chip; GSPMD inserts the
         # seq all-gather at the attention boundary. Identity when sp is
-        # off — and genuinely a no-op without a dp×tp mesh in context:
-        # bare-PartitionSpec constraints RAISE outside jax.set_mesh (and
-        # under a mesh missing the axes, e.g. the GPipe ('dp','pp')
-        # mesh), so an sp-configured tower stays runnable for init/eval
-        # outside the training mesh.
+        # off or when no dp×tp mesh is in context (e.g. init/eval
+        # outside the training mesh, or the GPipe ('dp','pp') mesh,
+        # where the axes don't exist). Bare-PartitionSpec constraints
+        # resolve under BOTH `jax.set_mesh` (the production sp path,
+        # train/pretrain.py:_mesh_ctx) and the legacy bare `with mesh:`
+        # context — only the getters differ: get_abstract_mesh() is
+        # empty under the legacy context, so check the thread-local
+        # physical mesh too or an sp tower traced there would silently
+        # lose its placement (r4 advisor).
         def sp(h):
             if not getattr(cfg, "seq_parallel", False):
                 return h
             from jax.sharding import PartitionSpec as P
 
             cm = jax.sharding.get_abstract_mesh()
+            if cm.empty:
+                from jax._src.mesh import thread_resources
+
+                cm = thread_resources.env.physical_mesh
             if cm.empty or not {"dp", "tp"} <= set(cm.axis_names):
                 return h
             return jax.lax.with_sharding_constraint(h, P("dp", "tp"))
