@@ -95,14 +95,20 @@ def build(bs: int):
     # LR2PPO_BENCH_INT8=0 is the A/B knob.
     reward_int8 = os.environ.get(
         "LR2PPO_BENCH_INT8", "1" if cfg.ppo.reward_int8 else "0") == "1"
-    # LR2PPO_BENCH_ROLLOUT_INT8=1: A/B study — run the ROLLOUT's
+    # LR2PPO_BENCH_ROLLOUT_INT8: A/B study — run the ROLLOUT's
     # actor/critic forwards through the same gated int8 path (they are
     # no-grad and their params are constant between update sweeps, so
     # the trainer re-quantizes once per sweep). run() quantizes ONCE
     # outside the timed loop — the amortized best case, matching a long
     # production sweep; see run() for why per-iteration quantize would
-    # also OOM.
-    rollout_int8 = os.environ.get("LR2PPO_BENCH_ROLLOUT_INT8", "0") == "1"
+    # also OOM. Values: 0 (off), 1 (actor+critic twins — +8.6% at
+    # bs=128 but the ~1.1 GB of twins OOM bs=256, perf_grid_r4.json),
+    # actor (r5: actor twin only — half the extra HBM, keeps the
+    # bf16 critic for the rollout V(state) forward).
+    from lr2ppo_tpu.config import rollout_int8_mode
+
+    rollout_int8 = rollout_int8_mode(os.environ.get(
+        "LR2PPO_BENCH_ROLLOUT_INT8", cfg.ppo.rollout_int8))
     # LR2PPO_BENCH_FUSED_FFN=0: A/B knob for the fully-fused int8 FFN
     # Pallas kernel (ops/pallas_int8_mlp.py). The bench is single-chip,
     # where the AUTO default resolves to on; pin it explicitly so the
@@ -143,20 +149,23 @@ def build(bs: int):
     astate = init_state(actor_p, tx)
     cstate = init_state(critic_p, tx)
 
-    if rollout_int8:
+    if rollout_int8 != "0":
         r_actor = ScoreModel(int8_mcfg, dtype)
-        r_critic = SeqScoreModel(int8_mcfg, dtype)
+        r_critic = (SeqScoreModel(int8_mcfg, dtype)
+                    if rollout_int8 == "1" else critic)
         rollout = make_rollout_step(r_actor, r_critic, reward, mcfg.mode)
     else:
         rollout = make_rollout_step(actor, critic, reward, mcfg.mode)
     update = make_update_step(actor, critic, tx, tx, cfg)
-    quantize = None
-    if rollout_int8:
+    quantize_a = quantize_c = None
+    if rollout_int8 != "0":
         from lr2ppo_tpu.ops.int8 import quantize_tree
 
-        quantize = jax.jit(lambda p: quantize_tree(p, dtype))
+        quantize_a = jax.jit(lambda p: quantize_tree(p, dtype))
+        if rollout_int8 == "1":
+            quantize_c = quantize_a
     return (rollout, update, astate, cstate, reward_p, text, img, state0,
-            quantize)
+            (quantize_a, quantize_c))
 
 
 def _sync(astate, cstate):
@@ -191,7 +200,7 @@ def run(bs: int, warmup: int = 2, iters: int = 8):
     is the XLA cost-model FLOP count of one rollout+update at this bs,
     so main() can report achieved TFLOP/s and MFU (VERDICT r4 #4)."""
     (rollout, update, astate, cstate, reward_p,
-     text, img, state0, quantize) = build(bs)
+     text, img, state0, (quantize_a, quantize_c)) = build(bs)
     rng = jax.random.PRNGKey(1)
 
     # rollout-int8 A/B: the trainer re-quantizes actor/critic once per
@@ -199,9 +208,8 @@ def run(bs: int, warmup: int = 2, iters: int = 8):
     # pass), so the quantized trees are loop-invariant here. Quantizing
     # inside the async-dispatched loop would also pin one int8 tree
     # generation per in-flight iteration (~1.1 GB each) and OOM.
-    qa = qc = None
-    if quantize is not None:
-        qa, qc = quantize(astate.params), quantize(cstate.params)
+    qa = quantize_a(astate.params) if quantize_a is not None else None
+    qc = quantize_c(cstate.params) if quantize_c is not None else None
 
     ap0 = qa if qa is not None else astate.params
     cp0 = qc if qc is not None else cstate.params
@@ -342,7 +350,7 @@ def run_e2e(bs: int = 256, batches: int = 30) -> dict:
     # --- functional composed pass: loader batch -> DeviceCtx-equivalent
     # put -> rollout -> update, through the real trainer step programs
     (rollout, update, astate, cstate, reward_p,
-     _t, _i, _s, quantize) = build(bs)
+     _t, _i, _s, (quantize_a, quantize_c)) = build(bs)
     del _t, _i, _s   # free build()'s ~160 MB synthetic batch: the pass
     #                  below feeds real loader rows and HBM is tight
     rng = jax.random.PRNGKey(2)
@@ -355,8 +363,10 @@ def run_e2e(bs: int = 256, batches: int = 30) -> dict:
                               (bsz, tags))
     # rollout-int8 A/B: the rollout program expects int8 param views
     # (kernel_scale leaves) — same once-per-sweep quantize as run()
-    ap = astate.params if quantize is None else quantize(astate.params)
-    cp = cstate.params if quantize is None else quantize(cstate.params)
+    ap = (astate.params if quantize_a is None
+          else quantize_a(astate.params))
+    cp = (cstate.params if quantize_c is None
+          else quantize_c(cstate.params))
     scores, value, next_state, rew = rollout(
         ap, cp, reward_p, b["text"], b["img"], state0)
     rng, sub = jax.random.split(rng)

@@ -154,11 +154,12 @@ class PPOConfig:
     # ALSO run the rollout's actor/critic forwards int8: they are
     # no-grad (only the update step differentiates), so the trainer
     # re-quantizes the live params once per sweep and rolls out from
-    # the int8 trees. Measured +8.6% samples/s at bs=128 — but the two
-    # extra int8 trees (~1.1 GB at flagship scale) push bs=256 out of a
-    # 16 GB chip, where the big batch wins more; default off (ledger in
-    # PARITY.md). For chips with more HBM per model-byte.
-    rollout_int8: bool = False
+    # the int8 trees. Tri-state (rollout_int8_mode): '1'/True = both
+    # twins (+8.6% at bs=128, but the ~1.1 GB of twins OOM bs=256 on a
+    # 16 GB chip — perf_grid_r4.json); 'actor' = actor twin only (r5:
+    # half the extra HBM, fits bs=256, measured 1064.5 vs 1030.1
+    # samples/s = +3.3% — the fast profile's setting); '0'/False = off.
+    rollout_int8: object = False
     # ---- improved-PPO options (VERDICT r2 #7; the BASELINE north star
     # names "PPO with GAE and clipped surrogate loss" but the reference
     # parses eps_clip without using it, ppo.py:730, and has no GAE).
@@ -235,7 +236,10 @@ PROFILES = {
         "mesh": {"compute_dtype": "bfloat16"},
         "optim": {"moment_dtype": "bfloat16"},
         "model": {"hash_dropout": True},
-        "ppo": {"reward_int8": True},
+        # rollout_int8='actor': int8 twin for the rollout ACTOR only
+        # (critic stays bf16) — fits bs=256 where the dual-twin '1'
+        # OOMs; measured 1064.5 vs 1030.1 samples/s (r5)
+        "ppo": {"reward_int8": True, "rollout_int8": "actor"},
     },
     "faithful": {},
 }
@@ -415,7 +419,26 @@ _FLAG_ROUTES = {
 }
 
 # fields whose default is None need an explicit CLI type
-_FLAG_TYPES = {"grad_clip": float, "moment_dtype": str}
+_FLAG_TYPES = {"grad_clip": float, "moment_dtype": str,
+               "rollout_int8": str}
+
+
+def rollout_int8_mode(v) -> str:
+    """Normalize PPOConfig.rollout_int8 to '0' | '1' | 'actor'.
+
+    Accepts the bool forms (legacy/tests), the CLI's boolean spellings,
+    and 'actor'/'both'. Every consumer (trainer, bench) goes through
+    this so a typo fails fast instead of silently rolling out bf16."""
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    s = str(v).strip().lower()
+    if s in ("1", "true", "yes", "on", "both"):
+        return "1"
+    if s in ("0", "false", "no", "off", ""):
+        return "0"
+    if s == "actor":
+        return "actor"
+    raise ValueError(f"rollout_int8: expected 0/1/actor, got {v!r}")
 
 _TOP_FLAGS = [
     "exp_name", "epochs_num", "batch_size", "report_steps", "eval_steps",

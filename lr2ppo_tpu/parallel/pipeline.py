@@ -16,8 +16,10 @@ optimizer-step parity: studies/pp_study.py).
 Scope (asserted in `check_pp_supported`): the standard transformer
 encoder without parameter sharing / residual attention / relative
 position bias / factorized embeddings, no decoder, layers_num % pp == 0,
-and pp composes with dp only (tp=1, zero1/fsdp off) — the covered
-configs are the BERT/RoBERTa/XLM-R/ViT pretraining families.
+and pp composes with dp AND megatron tp (`--pp N --tp M`: the stage
+scan runs manually over pp while tp rides GSPMD auto inside each
+stage — see make_pipelined_encoder); zero1/fsdp stay excluded. The
+covered configs are the BERT/RoBERTa/XLM-R/ViT pretraining families.
 
 Layout contract: pipeline runs keep the PACKED param layout in their
 periodic `.state` checkpoints (resume with the same --pp), but the
@@ -64,23 +66,32 @@ def check_pp_supported(cfg, mesh_cfg) -> None:
                     "under the pp mesh it would be silently inert)")
     if cfg.layers_num % mesh_cfg.pp:
         bad.append(f"layers_num={cfg.layers_num} % pp={mesh_cfg.pp} != 0")
-    if mesh_cfg.tp != 1:
-        bad.append("tp>1 (v1 composes pp with dp only)")
     if mesh_cfg.zero1 or mesh_cfg.fsdp:
-        bad.append("zero1/fsdp (v1 composes pp with dp only)")
+        bad.append("zero1/fsdp (pp composes with dp and tp only)")
     if bad:
         raise ValueError("--pp does not support this config: "
                          + "; ".join(bad))
 
 
-def make_pp_mesh(dp: int, pp: int, devices=None) -> Mesh:
-    """("dp", "pp") mesh: batch rows over dp, pipeline stages over pp."""
+def make_pp_mesh(dp: int, pp: int, devices=None, tp: int = 1) -> Mesh:
+    """("dp", "pp") mesh: batch rows over dp, pipeline stages over pp.
+
+    With tp > 1 the mesh gains a "tp" axis — ("dp", "pp", "tp"), tp
+    innermost so megatron activation psums ride adjacent-chip ICI —
+    and the stacked stage params compose P('pp') with the standard
+    megatron suffix rules (place_pipeline_tree): pipeline stays MANUAL
+    (shard_map over dp/pp), tensor parallelism rides GSPMD auto inside
+    each stage (shard_map axis_names)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        dp = max(n // pp, 1)
-    assert dp * pp <= n, f"mesh {dp}x{pp} needs {dp * pp} devices, have {n}"
-    grid = np.asarray(devices[: dp * pp]).reshape(dp, pp)
+        dp = max(n // (pp * tp), 1)
+    need = dp * pp * tp
+    assert need <= n, f"mesh {dp}x{pp}x{tp} needs {need} devices, have {n}"
+    if tp > 1:
+        grid = np.asarray(devices[:need]).reshape(dp, pp, tp)
+        return Mesh(grid, axis_names=("dp", "pp", "tp"))
+    grid = np.asarray(devices[:need]).reshape(dp, pp)
     return Mesh(grid, axis_names=("dp", "pp"))
 
 
@@ -118,20 +129,36 @@ def unpack_pipeline_params(params, layers_num: int, pp: int):
 
 def place_pipeline_tree(tree, mesh: Mesh):
     """Placement for ANY pytree containing packed stages: every leaf
-    under a STACK_KEY node is sharded P('pp') (each pp rank holds its
-    stage), everything else replicated (the ('dp','pp') mesh has no tp
-    axis — tp is out of the v1 envelope). Works for param trees and for
+    under a STACK_KEY node is sharded P('pp') on its stage axis (each
+    pp rank holds its stage); when the mesh also has a 'tp' axis the
+    stacked leaf composes the standard megatron suffix rules
+    (parallel/mesh._RULES) onto its kernel axes — P('pp', None, *tp) —
+    so each stage's wide matmuls split over tp too. Everything outside
+    the stack is replicated (embedding/target are depth-1; the encoder
+    stack is where both axes pay). Works for param trees and for
     optimizer-state trees (the moments mirror the param paths, so their
     stacked leaves sit under the same key). Single-process only (pp pods
     would assemble via global_put like shard_params; not wired in v1)."""
+    has_tp = "tp" in mesh.axis_names and mesh.shape.get("tp", 1) > 1
 
-    def spec(path):
+    def spec(path, leaf):
         names = tuple(getattr(p, "key", getattr(p, "name", str(p)))
                       for p in path)
-        return P("pp") if STACK_KEY in names else P()
+        if STACK_KEY not in names:
+            return P()
+        if has_tp:
+            from lr2ppo_tpu.parallel.mesh import _spec_for
+
+            tp_spec = tuple(_spec_for(path))
+            # stacked leaves are [pp, layers_per_stage, *param_shape]:
+            # stage axis pp-sharded, lps replicated, then the megatron
+            # entries on the original param axes
+            if tp_spec and getattr(leaf, "ndim", 0) == 2 + len(tp_spec):
+                return P("pp", None, *tp_spec)
+        return P("pp")
 
     shardings = jax.tree_util.tree_map_with_path(
-        lambda path, _: NamedSharding(mesh, spec(path)), tree)
+        lambda path, leaf: NamedSharding(mesh, spec(path, leaf)), tree)
     return jax.device_put(tree, shardings)
 
 
@@ -227,12 +254,22 @@ def make_pipelined_encoder(cfg, mesh: Mesh, pp: int, microbatches: int,
         return jax.lax.psum(outputs, "pp")
 
     xspec = P(None, "dp")
+    kw = {}
+    if "tp" in mesh.axis_names:
+        # pp x tp composition: the pipeline schedule stays MANUAL over
+        # dp/pp (axis_index/ppermute on 'pp'); 'tp' is left AUTO so the
+        # stage's layer matmuls keep their megatron shardings
+        # (place_pipeline_tree) and GSPMD inserts the tp activation
+        # psums inside each tick — the same propagation the non-pp tp
+        # path relies on under pjit.
+        kw["axis_names"] = {"dp", "pp"}
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(P("pp"), xspec, xspec, P()),
         out_specs=xspec,
-        check_vma=False)
+        check_vma=False,
+        **kw)
 
 
 def make_pp_loss_apply(model, cfg, mesh: Mesh, pp: int, microbatches: int,

@@ -46,11 +46,12 @@ class DeviceCtx:
                  pp: int = 1):
         if pp > 1 and enabled:
             # GPipe pipeline mesh (parallel/pipeline.py): ('dp','pp')
-            # axes; placement routes stacked stage params to P('pp').
-            # check_pp_supported has already rejected tp/zero1/fsdp.
+            # axes, plus 'tp' when composed (--pp N --tp M); placement
+            # routes stacked stage params to P('pp', ...megatron).
+            # check_pp_supported has already rejected zero1/fsdp.
             from lr2ppo_tpu.parallel.pipeline import make_pp_mesh
 
-            self.mesh = make_pp_mesh(dp, pp)
+            self.mesh = make_pp_mesh(dp, pp, tp=max(tp, 1))
         else:
             self.mesh = make_mesh(dp, tp) if enabled else None
         self.pp = pp if (pp > 1 and self.mesh is not None) else 1

@@ -176,11 +176,17 @@ class PPOTrainer:
             int8_mcfg if cfg.ppo.reward_int8 else cfg.model, dtype)
         # ppo.rollout_int8: rollout-side actor/critic twins that consume
         # int8 trees re-quantized from the live params once per sweep
-        # (the rollout is no-grad; config.py:PPOConfig.rollout_int8)
+        # (the rollout is no-grad; config.py:PPOConfig.rollout_int8).
+        # 'actor' mode keeps the critic bf16 — half the twin HBM, fits
+        # bs=256 on a 16 GB chip where dual twins OOM (r5 ledger in
+        # config.py).
+        from lr2ppo_tpu.config import rollout_int8_mode
+
+        self.ri8 = rollout_int8_mode(cfg.ppo.rollout_int8)
         self.r_actor = (ScoreModel(int8_mcfg, dtype)
-                        if cfg.ppo.rollout_int8 else self.actor)
+                        if self.ri8 != "0" else self.actor)
         self.r_critic = (SeqScoreModel(int8_mcfg, dtype)
-                         if cfg.ppo.rollout_int8 else self.critic)
+                         if self.ri8 == "1" else self.critic)
         self.ctx = DeviceCtx(cfg.mesh.dp, cfg.mesh.tp, enabled=use_mesh,
                              cast_dtype=cfg.mesh.compute_dtype,
                              zero1=cfg.mesh.zero1,
@@ -314,7 +320,7 @@ class PPOTrainer:
         # after every sweep (the only place params change). qa/qc are
         # dropped BEFORE requantizing so the old trees' HBM frees first.
         quant = None
-        if cfg.ppo.rollout_int8:
+        if self.ri8 != "0":
             from lr2ppo_tpu.ops.int8 import quantize_tree
 
             dtype = jnp.dtype(self.ctx.cast_dtype or jnp.float32)
@@ -326,8 +332,12 @@ class PPOTrainer:
             if quant is None:
                 return astate.params, cstate.params
             if qa is None:
-                qa, qc = quant(astate.params), quant(cstate.params)
-            return qa, qc
+                qa = quant(astate.params)
+                if self.ri8 == "1":
+                    qc = quant(cstate.params)
+            # 'actor' mode: the critic rolls out from its live bf16
+            # params (cstate changes per sweep — read it fresh)
+            return qa, (qc if self.ri8 == "1" else cstate.params)
         saver = BestSaver(cfg.output_model_path, self.logger,
                           backend=cfg.ckpt_backend)
         saver.best = max(saver.best, resume_best)

@@ -26,12 +26,19 @@ def capture(bs: int, trace_dir: str, iters: int = 4) -> None:
     import bench
 
     (rollout, update, astate, cstate, reward_p,
-     text, img, state0, quantize) = bench.build(bs)
+     text, img, state0, (quantize_a, quantize_c)) = bench.build(bs)
     rng = jax.random.PRNGKey(1)
 
+    # rollout-int8 views (the fast profile defaults to 'actor' since
+    # r5) — loop-invariant here, same as bench.run()
+    qa = quantize_a(astate.params) if quantize_a is not None else None
+    qc = quantize_c(cstate.params) if quantize_c is not None else None
+
     def step(astate, cstate, rng):
+        ap = qa if qa is not None else astate.params
+        cp = qc if qc is not None else cstate.params
         scores, value, next_state, rew = rollout(
-            astate.params, cstate.params, reward_p, text, img, state0)
+            ap, cp, reward_p, text, img, state0)
         rng, sub = jax.random.split(rng)
         astate, cstate, _ = update(
             astate, cstate, sub, text, img, state0, next_state,
@@ -80,6 +87,7 @@ def summarize(trace_dir: str, out_md: str, top_n: int = 45) -> None:
     agg = collections.defaultdict(lambda: [0.0, 0])
     mods = collections.defaultdict(lambda: [0.0, 0])
     cats = collections.defaultdict(lambda: [0.0, 0, 0.0])  # us, n, bytes
+    fmt_ops = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
@@ -104,6 +112,11 @@ def summarize(trace_dir: str, out_md: str, top_n: int = 45) -> None:
         c[0] += dur
         c[1] += 1
         c[2] += float(args.get("bytes_accessed", 0) or 0)
+        if cat == "data formatting" and name not in fmt_ops:
+            # keep the HLO expression so the md names the actual
+            # transposes/pads instead of opaque fusion.N labels
+            # (VERDICT r4 #6)
+            fmt_ops[name] = str(args.get("long_name", ""))[:300]
     rows = sorted(({"name": k, "total_us": v[0], "count": v[1],
                     "avg_us": v[0] / max(v[1], 1)}
                    for k, v in agg.items()),
@@ -135,6 +148,17 @@ def summarize(trace_dir: str, out_md: str, top_n: int = 45) -> None:
             f.write(f"| `{r['name'][:70]}` | {r['total_us']:.0f} | "
                     f"{r['avg_us']:.1f} | {r['count']} | "
                     f"{100 * r['total_us'] / max(total, 1e-9):.1f} |\n")
+        if fmt_ops:
+            f.write("\n## Data-formatting ops by HLO expression\n\n"
+                    "(top ops in the 'data formatting' category with "
+                    "their HLO long_name — the actual transposes/"
+                    "pads/copies behind the opaque fusion labels)\n\n")
+            f.write("| op | total_us | HLO |\n|---|---|---|\n")
+            fmt_rows = [r for r in rows if r["name"] in fmt_ops]
+            for r in fmt_rows[:20]:
+                hlo = fmt_ops[r["name"]].replace("|", "\\|")
+                f.write(f"| `{r['name'][:50]}` | {r['total_us']:.0f} | "
+                        f"`{hlo[:180]}` |\n")
     print(f"wrote {out_md} ({len(rows)} ops, {total / 1e3:.1f} ms)")
 
 
@@ -142,8 +166,9 @@ if __name__ == "__main__":
     bs = 256
     if len(sys.argv) >= 3 and sys.argv[1] == "--bs":
         bs = int(sys.argv[2])
-    trace_dir = os.path.join(HERE, "trace_r4")
-    if not glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+    tag = "r5" if len(sys.argv) < 2 or "r4" not in sys.argv else "r4"
+    trace_dir = os.path.join(HERE, f"trace_{tag}")
+    if not glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                      recursive=True):
         capture(bs, trace_dir)
-    summarize(trace_dir, os.path.join(HERE, "op_breakdown_r4.md"))
+    summarize(trace_dir, os.path.join(HERE, f"op_breakdown_{tag}.md"))

@@ -77,6 +77,30 @@ def test_round2_flag_routes():
     assert cfg.data.num_workers == 3
 
 
+def test_rollout_int8_mode_normalization():
+    """Tri-state flag: bool legacy forms, CLI boolean spellings, and
+    'actor' (r5) all normalize; typos fail fast."""
+    import pytest
+
+    from lr2ppo_tpu.config import parse_config, rollout_int8_mode
+
+    assert rollout_int8_mode(True) == "1"
+    assert rollout_int8_mode(False) == "0"
+    assert rollout_int8_mode("both") == "1"
+    assert rollout_int8_mode("off") == "0"
+    assert rollout_int8_mode("actor") == "actor"
+    with pytest.raises(ValueError, match="rollout_int8"):
+        rollout_int8_mode("ture")
+    # CLI forms: bare switch == '1', explicit value routes through
+    assert rollout_int8_mode(
+        parse_config(["--rollout_int8"]).ppo.rollout_int8) == "1"
+    assert rollout_int8_mode(
+        parse_config(["--rollout_int8", "actor"]).ppo.rollout_int8) \
+        == "actor"
+    assert rollout_int8_mode(
+        parse_config([]).ppo.rollout_int8) == "0"
+
+
 def test_profile_fast_selects_production_preset():
     """VERDICT r2 #4: one flag reproduces the benched configuration."""
     from lr2ppo_tpu.config import parse_config
@@ -85,6 +109,10 @@ def test_profile_fast_selects_production_preset():
     assert cfg.mesh.compute_dtype == "bfloat16"
     assert cfg.optim.moment_dtype == "bfloat16"
     assert cfg.model.hash_dropout is True
+    # r5: actor-only int8 rollout twin is part of the fast preset
+    from lr2ppo_tpu.config import rollout_int8_mode
+
+    assert rollout_int8_mode(cfg.ppo.rollout_int8) == "actor"
 
     # explicit CLI flags outrank the profile
     cfg2 = parse_config(["--profile", "fast",

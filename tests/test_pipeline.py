@@ -80,8 +80,13 @@ def test_check_pp_supported_rejects():
         check_pp_supported(_cfg(parameter_sharing=True), mesh_cfg)
     with pytest.raises(ValueError, match="layers_num"):
         check_pp_supported(_cfg(layers_num=6), MeshConfig(pp=4))
-    with pytest.raises(ValueError, match="tp"):
-        check_pp_supported(_cfg(), MeshConfig(pp=4, tp=2))
+    check_pp_supported(_cfg(), MeshConfig(pp=4, tp=2))  # pp x tp: ok
+    with pytest.raises(ValueError, match="zero1"):
+        check_pp_supported(_cfg(), MeshConfig(pp=4, zero1=True))
+    with pytest.raises(ValueError, match="seq_parallel"):
+        # sp constrains over dp x tp; under the pp mesh it would be
+        # silently inert (r4 advisor)
+        check_pp_supported(_cfg(seq_parallel=True), MeshConfig(pp=4))
 
 
 @needs8
@@ -115,6 +120,57 @@ def test_pp_forward_and_grad_parity(lnpos):
     # grads: unpack the pp grads back to per-layer layout and compare
     g_pp_host = jax.tree.map(np.asarray, jax.device_get(g_pp))
     g_pp_un = unpack_pipeline_params(g_pp_host, L, PP)
+    fa = {str(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(g_pp_un)}
+    fb = {str(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(
+              jax.tree.map(np.asarray, jax.device_get(g_ref)))}
+    assert fa.keys() == fb.keys()
+    for k in fb:
+        np.testing.assert_allclose(fa[k], fb[k], rtol=5e-4, atol=1e-5,
+                                   err_msg=k)
+
+
+@needs8
+def test_pp_tp_forward_and_grad_parity():
+    """pp x tp composition (VERDICT r4 #5): dp=2 x pp=2 x tp=2 over the
+    fake 8-device mesh — the stage scan manual over dp/pp, megatron tp
+    auto inside each stage (shard_map axis_names) — must reproduce the
+    unstaged single-program loss and grads exactly, with the stacked
+    kernels actually carrying both pp and tp in their shardings."""
+    pp = 2
+    cfg = _cfg()
+    model = TowerModel(cfg)
+    src, tgt, seg = _batch()
+    params = _params(model, src, tgt, seg)
+    mesh = make_pp_mesh(dp=2, pp=pp, tp=2)
+    packed = place_pipeline_params(pack_pipeline_params(params, L, pp),
+                                   mesh)
+    # placement sanity: a stacked qkv kernel is sharded over BOTH axes
+    qkv = packed["params"][STACK_KEY]["self_attn"]["linear_layers_0"][
+        "kernel"]
+    names = {e for e in qkv.sharding.spec if e}
+    assert names == {"pp", "tp"}, qkv.sharding
+
+    loss_apply = make_pp_loss_apply(model, cfg, mesh, pp, M)
+
+    def loss_pp(p):
+        l, c, d = loss_apply(p, src, tgt, seg, jax.random.PRNGKey(1),
+                             deterministic=True)
+        return l, (c, d)
+
+    def loss_ref(p):
+        l, c, d = model.apply(p, src, tgt, seg, deterministic=True)
+        return l, (c, d)
+
+    (l_pp, (c_pp, d_pp)), g_pp = jax.jit(
+        jax.value_and_grad(loss_pp, has_aux=True))(packed)
+    (l_ref, (c_ref, d_ref)), g_ref = jax.jit(
+        jax.value_and_grad(loss_ref, has_aux=True))(params)
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=2e-5)
+    assert float(c_pp) == float(c_ref) and float(d_pp) == float(d_ref)
+    g_pp_un = unpack_pipeline_params(
+        jax.tree.map(np.asarray, jax.device_get(g_pp)), L, pp)
     fa = {str(p): v for p, v in
           jax.tree_util.tree_leaves_with_path(g_pp_un)}
     fb = {str(p): v for p, v in

@@ -120,13 +120,15 @@ def test_ppo_end_to_end(tmp_path):
 
 
 @pytest.mark.heavy
-def test_ppo_rollout_int8(tmp_path, monkeypatch):
+@pytest.mark.parametrize("mode", [True, "actor"])
+def test_ppo_rollout_int8(tmp_path, monkeypatch, mode):
     """--rollout_int8: rollouts run from int8 views of the live
-    actor/critic params, re-quantized once per sweep. Zero the size
-    gates so the tiny model actually takes the quantized path, and
-    force the fused-FFN Pallas kernel off (its AUTO default is off on
-    the multi-device CPU test backend anyway; the kernel has its own
-    parity tests in test_int8.py)."""
+    actor/critic params, re-quantized once per sweep ('actor' keeps
+    the critic bf16 — the fast profile's bs=256-fitting variant, r5).
+    Zero the size gates so the tiny model actually takes the quantized
+    path, and force the fused-FFN Pallas kernel off (its AUTO default
+    is off on the multi-device CPU test backend anyway; the kernel has
+    its own parity tests in test_int8.py)."""
     from lr2ppo_tpu.ops import int8 as int8_mod
 
     monkeypatch.setattr(int8_mod, "INT8_MIN_KERNEL_ELEMENTS", 0)
@@ -135,7 +137,7 @@ def test_ppo_rollout_int8(tmp_path, monkeypatch):
     jp, hp = make_movienet(tmp_path / "d", n_items=6)
     cfg = tiny_config(tmp_path, epochs_num=1)
     cfg.ppo.update_timesteps = 2
-    cfg.ppo.rollout_int8 = True
+    cfg.ppo.rollout_int8 = mode
     cfg.data.max_tags = 4
 
     def make_train_loader(epoch):
