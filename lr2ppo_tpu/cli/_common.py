@@ -188,9 +188,14 @@ def letor_reward_loaders(cfg: Config, relevance_classes: int = 5):
                                 max_tags=cfg.data.max_tags,
                                 relevance_classes=relevance_classes,
                                 seed=cfg.seed)
+    # eval width is the reference's FIXED 20 pairs/query (its dataset
+    # ctor default — reward_trad.py:88 never threads args.max_tags), so
+    # reported accuracies are comparable at the same variance; the old
+    # max_tags//4 shortcut quartered the eval set and its noise floor
+    # dominated cross-framework comparisons (r5 full-run A/B)
     ev_ds = LTRRewardDataset(
         letor_queries(cfg.data.dev_path or cfg.data.test_path, "test"),
-        max_tags=max(cfg.data.max_tags // 4, 1),
+        max_tags=20,
         relevance_classes=relevance_classes, seed=cfg.seed + 999)
     return (Loader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
                    num_workers=cfg.data.num_workers, reuse_buffers=True,

@@ -60,7 +60,10 @@ def test_dryrun_survives_dead_default_backend(monkeypatch):
         return R()
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    g.dryrun_multichip(8)
+    # pod_leg=False: this unit test intercepts subprocess.run only; the
+    # default pod leg (subprocess.Popen) is covered by the heavy
+    # test_dryrun_multichip_8 / _pod_2_process and the driver artifact
+    g.dryrun_multichip(8, pod_leg=False)
     assert calls, "dead backend must fall through to the CPU re-exec"
     assert calls["cmd"][0] == sys.executable
     assert "--xla_force_host_platform_device_count=8" in calls["env"]["XLA_FLAGS"]
@@ -148,7 +151,7 @@ def test_dryrun_self_provisions_when_oversubscribed(monkeypatch):
         return R()
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    g.dryrun_multichip(16)
+    g.dryrun_multichip(16, pod_leg=False)
     assert calls["cmd"][0] == sys.executable
     assert "--xla_force_host_platform_device_count=16" in calls["env"]["XLA_FLAGS"]
     assert "jax.config.update('jax_platforms', 'cpu')" in calls["cmd"][2]

@@ -230,16 +230,17 @@ class _TokDS:
         return self.items[i]
 
 
-def _pretrain(pp, tmp_path, steps=4, resume=False):
+def _pretrain(pp, tmp_path, steps=4, resume=False, tp=1):
     from lr2ppo_tpu.config import Config
     from lr2ppo_tpu.data.pipeline import Loader
     from lr2ppo_tpu.train.pretrain import PretrainTrainer
 
     cfg = Config().replace(epochs_num=4, batch_size=16,
                            report_steps=2, seed=3,
-                           output_model_path=str(tmp_path / f"pp{pp}"))
-    cfg.mesh.dp = 2 if pp > 1 else 8
+                           output_model_path=str(tmp_path / f"pp{pp}tp{tp}"))
+    cfg.mesh.dp = (8 // (pp * tp) if pp > 1 else 8)
     cfg.mesh.pp = pp
+    cfg.mesh.tp = tp
     # dropout=0 so pp vs plain is comparable (the dropout STREAMS
     # legitimately differ between the GSPMD and shard_map paths)
     tcfg = _cfg(dropout=0.0)
@@ -280,6 +281,26 @@ def test_pp_trainer_matches_plain_and_exports_unpacked(tmp_path):
     src, tgt, seg = _batch(seed=9)
     out = model.apply(saved, src, tgt, seg, deterministic=True)
     assert np.isfinite(float(out[0]))
+
+
+@needs8
+@pytest.mark.heavy
+def test_pp_tp_trainer_matches_plain(tmp_path):
+    """PretrainTrainer --pp 2 --tp 2 (dp=2): the composed mesh trains
+    to the same params as the plain dp-8 run (dropout 0) — the e2e leg
+    on top of test_pp_tp_forward_and_grad_parity's program-level
+    proof."""
+    tr_ppt, st_ppt, _, _ = _pretrain(2, tmp_path, tp=2)
+    tr_pl, st_pl, _, _ = _pretrain(1, tmp_path)
+    un = unpack_pipeline_params(
+        jax.tree.map(np.asarray, jax.device_get(st_ppt.params)), L, 2)
+    fa = {str(p): v for p, v in jax.tree_util.tree_leaves_with_path(un)}
+    fb = {str(p): v for p, v in jax.tree_util.tree_leaves_with_path(
+        jax.tree.map(np.asarray, jax.device_get(st_pl.params)))}
+    assert fa.keys() == fb.keys()
+    for k in fb:
+        np.testing.assert_allclose(fa[k], fb[k], rtol=5e-3, atol=2e-4,
+                                   err_msg=k)
 
 
 @needs8
